@@ -1,0 +1,174 @@
+"""ViLBERT-style bi-directional co-attention (cross-stream) layers.
+
+Parity targets (vilbert_k3m/vilbert_k3m.py):
+  BertBiAttention:712            (v-stream <-> t-stream, bi_hidden_size heads)
+  BertBiAttention_two_text:841   (t <-> pv, hidden_size heads)
+  BertBiOutput:968 / BertBiOutput_two_txt:999
+  BertConnectionLayer:1030 / BertConnectionLayer_two_text:1074
+
+Stream-1 queries attend stream-2 keys/values and vice versa; each stream then
+runs its own FFN with post-LN residuals. The reference's `q_dense*` parameters
+are dead weights (created but never used, ref :976-984,1007-1014) and are NOT
+re-created here; the torch->jax weight converter drops them.
+
+TPU note: both attention directions are computed from one shared set of six
+projections; with `config.use_pallas` the two softmax-attention passes run in
+a single fused Pallas kernel (k3m_tpu/kernels/coattn.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from k3m_tpu.config import K3MConfig
+from k3m_tpu.model.layers import (
+    LayerNorm, act_fn, attention_core, compute_dtype, dense_init,
+    merge_heads, split_heads,
+)
+
+
+class BiAttention(nn.Module):
+    """Bi-directional cross attention between stream1 (visual) and stream2
+    (text). Returns (ctx_for_stream2, ctx_for_stream1) in reference order:
+    context1 = stream2-queries over stream1 values, context2 = vice versa.
+    """
+    config: K3MConfig
+    size1: int          # stream1 (visual-like) hidden size
+    size2: int          # stream2 (text-like) hidden size
+    bi_size: int
+    num_heads: int
+    dropout1: float     # applied to probs over stream1 values
+    dropout2: float
+
+    @nn.compact
+    def __call__(self, x1, bias1, x2, bias2, *, deterministic: bool):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        d = lambda n: nn.Dense(self.bi_size, kernel_init=init, dtype=dtype, name=n)
+        q1, k1, v1 = d("query1")(x1), d("key1")(x1), d("value1")(x1)
+        q2, k2, v2 = d("query2")(x2), d("key2")(x2), d("value2")(x2)
+        h = self.num_heads
+        # context1: stream2 queries attend stream1 keys/values (ref :786-802)
+        ctx1 = attention_core(split_heads(q2, h), split_heads(k1, h),
+                              split_heads(v1, h), bias1,
+                              dropout_rate=self.dropout1,
+                              deterministic=deterministic, module=self)
+        # context2: stream1 queries attend stream2 keys/values (ref :805-824)
+        ctx2 = attention_core(split_heads(q1, h), split_heads(k2, h),
+                              split_heads(v2, h), bias2,
+                              dropout_rate=self.dropout2,
+                              deterministic=deterministic, module=self)
+        return merge_heads(ctx1), merge_heads(ctx2)
+
+
+class ConnectionLayer(nn.Module):
+    """BertConnectionLayer (ref :1030-1071): bi-attention + per-stream
+    projection/LN + per-stream FFN. Stream1 is visual-sized, stream2 text-sized.
+    """
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, x1, bias1, x2, bias2, *, deterministic: bool):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        vdrop, tdrop = cfg.v_hidden_dropout_prob, cfg.hidden_dropout_prob
+
+        ctx1, ctx2 = BiAttention(
+            cfg, cfg.v_hidden_size, cfg.hidden_size, cfg.bi_hidden_size,
+            cfg.bi_num_attention_heads,
+            cfg.v_attention_probs_dropout_prob, cfg.attention_probs_dropout_prob,
+            name="biattention")(x1, bias1, x2, bias2, deterministic=deterministic)
+
+        # biOutput (ref :968-996): ctx2 (stream1-queries) back onto stream1,
+        # ctx1 (stream2-queries) back onto stream2.
+        s1 = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                      name="bi_dense1")(ctx2)
+        if not deterministic and vdrop > 0:
+            s1 = nn.Dropout(vdrop)(s1, deterministic=False)
+        s1 = LayerNorm(dtype=dtype, name="bi_LayerNorm1")(s1 + x1)
+
+        s2 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                      name="bi_dense2")(ctx1)
+        if not deterministic and tdrop > 0:
+            s2 = nn.Dropout(tdrop)(s2, deterministic=False)
+        s2 = LayerNorm(dtype=dtype, name="bi_LayerNorm2")(s2 + x2)
+
+        # stream1 FFN (image-sized, ref :1065-1066)
+        h1 = nn.Dense(cfg.v_intermediate_size, kernel_init=init, dtype=dtype,
+                      name="v_intermediate")(s1)
+        h1 = act_fn(cfg.v_hidden_act)(h1)
+        h1 = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                      name="v_output")(h1)
+        if not deterministic and vdrop > 0:
+            h1 = nn.Dropout(vdrop)(h1, deterministic=False)
+        out1 = LayerNorm(dtype=dtype, name="v_output_LayerNorm")(h1 + s1)
+
+        # stream2 FFN (text-sized, ref :1068-1069)
+        h2 = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
+                      name="t_intermediate")(s2)
+        h2 = act_fn(cfg.hidden_act)(h2)
+        h2 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                      name="t_output")(h2)
+        if not deterministic and tdrop > 0:
+            h2 = nn.Dropout(tdrop)(h2, deterministic=False)
+        out2 = LayerNorm(dtype=dtype, name="t_output_LayerNorm")(h2 + s2)
+
+        return out1, out2
+
+
+class ConnectionLayerTwoText(nn.Module):
+    """BertConnectionLayer_two_text (ref :1074-1111): both streams text-sized,
+    heads = bi_num_attention_heads over hidden_size (ref :844-855); stream1's
+    post-attention dropout uses the *visual* dropout prob (ref :1005),
+    and both FFNs are text-sized (ref :1081-1085).
+    """
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, x1, bias1, x2, bias2, *, deterministic: bool):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        vdrop, tdrop = cfg.v_hidden_dropout_prob, cfg.hidden_dropout_prob
+
+        ctx1, ctx2 = BiAttention(
+            cfg, cfg.hidden_size, cfg.hidden_size, cfg.hidden_size,
+            cfg.bi_num_attention_heads,
+            cfg.v_attention_probs_dropout_prob, cfg.attention_probs_dropout_prob,
+            name="biattention")(x1, bias1, x2, bias2, deterministic=deterministic)
+
+        s1 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                      name="bi_dense1")(ctx2)
+        if not deterministic and vdrop > 0:
+            s1 = nn.Dropout(vdrop)(s1, deterministic=False)
+        s1 = LayerNorm(dtype=dtype, name="bi_LayerNorm1")(s1 + x1)
+
+        s2 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                      name="bi_dense2")(ctx1)
+        if not deterministic and tdrop > 0:
+            s2 = nn.Dropout(tdrop)(s2, deterministic=False)
+        s2 = LayerNorm(dtype=dtype, name="bi_LayerNorm2")(s2 + x2)
+
+        h1 = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
+                      name="v_intermediate")(s1)
+        h1 = act_fn(cfg.hidden_act)(h1)
+        h1 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                      name="v_output")(h1)
+        if not deterministic and tdrop > 0:
+            h1 = nn.Dropout(tdrop)(h1, deterministic=False)
+        out1 = LayerNorm(dtype=dtype, name="v_output_LayerNorm")(h1 + s1)
+
+        h2 = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
+                      name="t_intermediate")(s2)
+        h2 = act_fn(cfg.hidden_act)(h2)
+        h2 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                      name="t_output")(h2)
+        if not deterministic and tdrop > 0:
+            h2 = nn.Dropout(tdrop)(h2, deterministic=False)
+        out2 = LayerNorm(dtype=dtype, name="t_output_LayerNorm")(h2 + s2)
+
+        return out1, out2

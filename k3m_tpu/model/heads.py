@@ -1,0 +1,128 @@
+"""Poolers and prediction heads.
+
+Parity targets (vilbert_k3m/vilbert_k3m.py):
+  BertTextPooler:1753 / BertImagePooler:1768  (CLS token -> Dense(bi) -> ReLU)
+  BertPredictionHeadTransform:1783 / BertImgPredictionHeadTransform:1802
+  BertLMPredictionHead:1821 (decoder TIED to the word embedding, ref :2266-2272)
+  BertImagePredictionHead:1912 (v_hidden -> v_target_size)
+  BertPreTrainingHeads:1862 (sum of pooled t+pv(+v) -> dropout -> 2-way)
+  ClassificationHead:2164
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from k3m_tpu.config import K3MConfig
+from k3m_tpu.model.layers import LayerNorm, act_fn, compute_dtype, dense_init
+
+
+class Pooler(nn.Module):
+    """First-token pooler: Dense(out_size) + ReLU."""
+    config: K3MConfig
+    out_size: int
+
+    @nn.compact
+    def __call__(self, hidden_states):
+        cfg = self.config
+        x = hidden_states[:, 0]
+        x = nn.Dense(self.out_size, kernel_init=dense_init(cfg.initializer_range),
+                     dtype=compute_dtype(cfg), name="dense")(x)
+        return jax.nn.relu(x)
+
+
+class LMPredictionHead(nn.Module):
+    """MLM head: transform (dense+act+LN) then decode with the TIED word
+    embedding plus an output-only bias (ref :1821-1839). The embedding table
+    is passed in explicitly to realize the tie."""
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, hidden_states, word_embedding_table):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        x = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                     name="transform_dense")(hidden_states)
+        x = act_fn(cfg.hidden_act)(x)
+        x = LayerNorm(dtype=dtype, name="transform_LayerNorm")(x)
+        bias = self.param("decoder_bias", nn.initializers.zeros,
+                          (cfg.vocab_size,), jnp.float32)
+        logits = jnp.einsum("bld,vd->blv", x,
+                            word_embedding_table.astype(dtype),
+                            preferred_element_type=jnp.float32)
+        return logits + bias
+
+
+class ImagePredictionHead(nn.Module):
+    """Masked-RoI head: v transform then decode to v_target_size (ref :1912)."""
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, hidden_states):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        x = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                     name="transform_dense")(hidden_states)
+        x = act_fn(cfg.hidden_act)(x)  # note: ref uses hidden_act here (:1806-1811)
+        x = LayerNorm(dtype=dtype, name="transform_LayerNorm")(x)
+        x = nn.Dense(cfg.v_target_size, kernel_init=init, dtype=dtype,
+                     name="decoder")(x)
+        return x.astype(jnp.float32)
+
+
+class PreTrainingHeads(nn.Module):
+    """MLM logits for title & pv (shared head), masked-RoI logits, and the
+    fused 3-modality alignment score (ref :1862-1909)."""
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, sequence_output_t, sequence_output_v, pooled_output_t,
+                 pooled_output_v, sequence_output_pv, pooled_output_pv,
+                 word_embedding_table, *, deterministic: bool):
+        cfg = self.config
+        lm_head = LMPredictionHead(cfg, name="predictions")
+
+        pooled = pooled_output_t + pooled_output_pv
+        if pooled_output_v is not None:
+            pooled = pooled + pooled_output_v
+        if not deterministic:
+            pooled = nn.Dropout(0.1)(pooled, deterministic=False)  # ref :1870
+        seq_relationship = nn.Dense(
+            2, kernel_init=dense_init(cfg.initializer_range),
+            dtype=compute_dtype(cfg), name="seq_relationship")(pooled)
+
+        scores_t = lm_head(sequence_output_t, word_embedding_table)
+        scores_pv = lm_head(sequence_output_pv, word_embedding_table)
+        scores_v = None
+        if cfg.use_image and sequence_output_v is not None:
+            scores_v = ImagePredictionHead(cfg, name="imagePredictions")(
+                sequence_output_v)
+        return scores_t, scores_v, scores_pv, seq_relationship.astype(jnp.float32)
+
+
+class ClassificationHead(nn.Module):
+    """Item-alignment CE head (ref :2164-2183): dropout -> Dense(h) -> tanh
+    -> dropout -> Dense(2). Input is concat of the two item embeddings."""
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, features, *, deterministic: bool):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        x = features
+        if not deterministic and cfg.hidden_dropout_prob > 0:
+            x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=False)
+        x = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                     name="dense")(x)
+        x = jnp.tanh(x)
+        if not deterministic and cfg.hidden_dropout_prob > 0:
+            x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=False)
+        return nn.Dense(2, kernel_init=init, dtype=dtype,
+                        name="out_proj")(x).astype(jnp.float32)

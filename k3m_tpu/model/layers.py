@@ -1,0 +1,250 @@
+"""Core transformer building blocks (text + visual streams).
+
+Parity targets in the reference (file:line = vilbert_k3m/vilbert_k3m.py):
+  BertEmbeddings:335  RobertaEmbeddings:385  BertSelfAttention:411
+  BertLayer:535       BertImageSelfAttention:551 (dynamic_attention :572-601)
+  BertImageLayer:696  BertImageEmbeddings:2141   BertLayerNorm:311-332
+
+TPU notes: attention is expressed as batched einsums that XLA tiles onto the
+MXU; masks are additive (1-m)*-10000 exactly like the reference; LayerNorm is
+eps-inside-sqrt (TF style, eps=1e-12). All shapes are static. An optional
+Pallas fused-attention path is plumbed via `config.use_pallas`
+(k3m_tpu/kernels/attention.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from k3m_tpu.config import K3MConfig
+
+MASK_NEG = -10000.0
+
+
+def compute_dtype(config: K3MConfig):
+    return jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+
+
+def act_fn(name: str):
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)  # erf gelu, ref :120-125
+    if name == "relu":
+        return jax.nn.relu
+    if name == "swish":
+        return jax.nn.swish
+    raise ValueError(f"unknown activation {name}")
+
+
+def dense_init(std: float):
+    return nn.initializers.normal(stddev=std)
+
+
+class LayerNorm(nn.Module):
+    """TF-style LayerNorm, eps inside the sqrt (ref :319-332). fp32 internals."""
+    eps: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        u = xf.mean(-1, keepdims=True)
+        s = jnp.square(xf - u).mean(-1, keepdims=True)
+        y = (xf - u) * jax.lax.rsqrt(s + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, L] {0,1} mask -> [B, 1, 1, L] additive bias (ref :2553-2561)."""
+    return ((1.0 - mask.astype(jnp.float32)) * MASK_NEG)[:, None, None, :].astype(dtype)
+
+
+def attention_core(q, k, v, bias, *, dropout_rate: float, deterministic: bool,
+                   dropout_rng_module: Optional[nn.Module] = None,
+                   module: Optional[nn.Module] = None):
+    """Scaled dot-product attention over [B, H, L, D] tensors.
+
+    Softmax runs in fp32 for numerical parity regardless of compute dtype.
+    """
+    head_dim = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(head_dim)
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if not deterministic and dropout_rate > 0.0 and module is not None:
+        keep = jax.random.bernoulli(
+            module.make_rng("dropout"), 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return ctx.astype(v.dtype)
+
+
+def split_heads(x, num_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+class BertEmbeddings(nn.Module):
+    """Word + position + type embeddings, LN, dropout (ref :335-408).
+
+    The word-embedding table is passed in by the owner (K3MTrunk) so the MLM
+    decoder can be weight-tied to it (ref tie_weights :2266-2272).
+    `config.model == "roberta"` offsets position ids by padding_idx+1 = 2
+    (RobertaEmbeddings, ref :385-408).
+    """
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, word_embedding_table, *,
+                 deterministic: bool):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        pos_emb = self.param("position_embeddings", init,
+                             (cfg.max_position_embeddings, cfg.hidden_size), jnp.float32)
+        type_emb = self.param("token_type_embeddings", init,
+                              (cfg.type_vocab_size, cfg.hidden_size), jnp.float32)
+        seq_len = input_ids.shape[1]
+        pos_ids = jnp.arange(seq_len, dtype=jnp.int32)
+        if cfg.model == "roberta":
+            pos_ids = pos_ids + 2  # padding_idx(=1) + 1, ref :394-405
+        x = (word_embedding_table[input_ids] + pos_emb[pos_ids][None, :, :]
+             + type_emb[token_type_ids])
+        x = LayerNorm(dtype=dtype, name="LayerNorm")(x)
+        if not deterministic and cfg.hidden_dropout_prob > 0:
+            x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=False)
+        return x.astype(dtype)
+
+
+class ImageEmbeddings(nn.Module):
+    """RoI feature + 5-d location projection, LN, dropout (ref :2141-2161)."""
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, image_feat, image_loc, *, deterministic: bool):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        x = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                     name="image_embeddings")(image_feat.astype(dtype))
+        loc = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                       name="image_location_embeddings")(image_loc.astype(dtype))
+        x = LayerNorm(dtype=dtype, name="LayerNorm")(x + loc)
+        if not deterministic and cfg.hidden_dropout_prob > 0:
+            x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=False)
+        return x
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with additive mask (ref BertSelfAttention:411)."""
+    config: K3MConfig
+    hidden_size: int
+    num_heads: int
+    attn_dropout: float
+
+    @nn.compact
+    def __call__(self, x, bias, *, deterministic: bool,
+                 gate_q=None, gate_k=None):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        q = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="query")(x)
+        k = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="key")(x)
+        v = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="value")(x)
+        if gate_q is not None:
+            q = q * gate_q[:, None, :]
+        if gate_k is not None:
+            k = k * gate_k[:, None, :]
+        ctx = attention_core(
+            split_heads(q, self.num_heads), split_heads(k, self.num_heads),
+            split_heads(v, self.num_heads), bias,
+            dropout_rate=self.attn_dropout, deterministic=deterministic,
+            module=self)
+        return merge_heads(ctx)
+
+
+class TextLayer(nn.Module):
+    """BertLayer: self-attn + output + FFN, post-LN (ref :535-548)."""
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, x, bias, *, deterministic: bool):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        drop = cfg.hidden_dropout_prob
+
+        attn = SelfAttention(cfg, cfg.hidden_size, cfg.num_attention_heads,
+                             cfg.attention_probs_dropout_prob,
+                             name="attention")(x, bias, deterministic=deterministic)
+        attn = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                        name="attention_output")(attn)
+        if not deterministic and drop > 0:
+            attn = nn.Dropout(drop)(attn, deterministic=False)
+        attn = LayerNorm(dtype=dtype, name="attention_LayerNorm")(attn + x)
+
+        h = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
+                     name="intermediate")(attn)
+        h = act_fn(cfg.hidden_act)(h)
+        h = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                     name="output")(h)
+        if not deterministic and drop > 0:
+            h = nn.Dropout(drop)(h, deterministic=False)
+        return LayerNorm(dtype=dtype, name="output_LayerNorm")(h + attn)
+
+
+class ImageLayer(nn.Module):
+    """BertImageLayer with optional dynamic text-conditioned QK gating
+    (ref :551-709)."""
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, x, bias, txt_embedding, txt_mask2, *, deterministic: bool):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        drop = cfg.v_hidden_dropout_prob
+
+        gate_q = gate_k = None
+        if cfg.dynamic_attention and txt_embedding is not None:
+            # mean-pool text by mask, sigmoid gates (ref :592-601)
+            pooled = (txt_embedding * txt_mask2).sum(1) / txt_mask2.sum(1)
+            gate_q = 1.0 + jax.nn.sigmoid(
+                nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                         name="dyLinear_q")(pooled))
+            gate_k = 1.0 + jax.nn.sigmoid(
+                nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                         name="dyLinear_k")(pooled))
+
+        attn = SelfAttention(cfg, cfg.v_hidden_size, cfg.v_num_attention_heads,
+                             cfg.v_attention_probs_dropout_prob, name="attention")(
+            x, bias, deterministic=deterministic, gate_q=gate_q, gate_k=gate_k)
+        attn = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                        name="attention_output")(attn)
+        if not deterministic and drop > 0:
+            attn = nn.Dropout(drop)(attn, deterministic=False)
+        attn = LayerNorm(dtype=dtype, name="attention_LayerNorm")(attn + x)
+
+        h = nn.Dense(cfg.v_intermediate_size, kernel_init=init, dtype=dtype,
+                     name="intermediate")(attn)
+        h = act_fn(cfg.v_hidden_act)(h)
+        h = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                     name="output")(h)
+        if not deterministic and drop > 0:
+            h = nn.Dropout(drop)(h, deterministic=False)
+        return LayerNorm(dtype=dtype, name="output_LayerNorm")(h + attn)

@@ -1,0 +1,160 @@
+"""Structure Aggregation Module + Link Prediction Modeling (LPM) loss.
+
+Parity target: reference `structure_aggregator`
+(vilbert_k3m/vilbert_k3m.py:2413-2505 pretrain; :3105-3161 finetune variant
+without the LPM loss).
+
+The reference runs Python per-item/per-pv loops (the #1 serial hotspot).
+Here everything is vectorized over [B, P] with validity masks:
+
+  * property/value vectors: the reference's `index_select(dim=0, index=index_p[i,j])`
+    selects exactly the TWO boundary positions [begin, end] of each span and
+    averages them (ref :2443-2444) — i.e. p = (seq[b] + seq[e]) / 2. This is a
+    pair gather, done here with take_along_axis.
+  * triple reps t = W1([c; p; v]), scores b = W2(leaky_relu(t)), masked
+    softmax over the valid pairs, c_final = c + W3(sum attn*t) (ref :2448-2465).
+  * zero-pv fallback (ref :2452-2456): softmax over the single row
+    t = c_initial[i]  =>  c_final = c + W3(c).
+  * LPM loss: TransE norms ||c + p - v|| with `num_negative_pv//2` corrupted
+    entities (other items in batch) and the rest corrupted values (other pairs
+    of the same item), MarginRankingLoss(margin) with target=1
+    (ref :2469-2502). Negatives are sampled WITHOUT replacement exactly like
+    `random.sample`, via per-(i,j) masked argsort of uniform noise.
+
+NOTE the reference's MarginRankingLoss call ranks the POSITIVE norm above the
+negative (loss = relu(margin - pos + neg)), which is inverted w.r.t. textbook
+TransE; we replicate it bit-for-bit and expose `config.fix_reference_bugs`
+to flip the sign.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from k3m_tpu.config import K3MConfig
+from k3m_tpu.model.layers import compute_dtype, dense_init
+
+
+def gather_pair_mean(seq: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """seq [B, L, H], idx [B, P, 2] -> [B, P, H]: mean of the two positions."""
+    B = seq.shape[0]
+    b_idx = jnp.arange(B)[:, None, None]
+    gathered = seq[b_idx, idx]                 # [B, P, 2, H]
+    return gathered.mean(axis=2)
+
+
+def _sample_without_replacement(rng, noise_shape, valid_mask, k_take):
+    """Per-row ordering of candidates by uniform noise; invalid candidates are
+    pushed to the back. Returns (indices [..., k_take], slot_valid mask)."""
+    noise = jax.random.uniform(rng, noise_shape)
+    noise = jnp.where(valid_mask, noise, 2.0)      # invalid -> sorted last
+    order = jnp.argsort(noise, axis=-1)
+    take = order[..., :k_take]
+    n_valid = valid_mask.sum(axis=-1, keepdims=True)
+    slot_ok = jnp.arange(k_take) < jnp.minimum(n_valid, k_take)
+    return take, slot_ok
+
+
+class StructureAggregator(nn.Module):
+    config: K3MConfig
+    with_lpm: bool = True
+
+    @nn.compact
+    def __call__(self, c_initial, sequence_output_pv, index_p, index_v,
+                 *, deterministic: bool = True,
+                 neg_entity_idx: Optional[jnp.ndarray] = None,
+                 neg_value_idx: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        H = cfg.hidden_size
+        w1 = nn.Dense(H, kernel_init=init, dtype=dtype, name="struc_w1")
+        w2 = nn.Dense(1, kernel_init=init, dtype=dtype, name="struc_w2")
+        w3 = nn.Dense(H, kernel_init=init, dtype=dtype, name="struc_w3")
+
+        B, P, _ = index_p.shape
+        valid = (index_p[:, :, 0] != 0)                      # [B, P]
+        n_valid = valid.sum(axis=1)                          # [B]
+
+        p_vecs = gather_pair_mean(sequence_output_pv, index_p)   # [B, P, H]
+        v_vecs = gather_pair_mean(sequence_output_pv, index_v)   # [B, P, H]
+
+        c_rep = jnp.broadcast_to(c_initial[:, None, :], (B, P, H))
+        t = w1(jnp.concatenate([c_rep, p_vecs, v_vecs], axis=-1))   # [B, P, H]
+        b = w2(jax.nn.leaky_relu(t))[..., 0].astype(jnp.float32)    # [B, P]
+        b = jnp.where(valid, b, -1e30)
+        atten = jax.nn.softmax(b, axis=1)[..., None]                # [B, P, 1]
+        agg = (atten.astype(t.dtype) * t).sum(axis=1)               # [B, H]
+        c_final_main = c_initial + w3(agg)
+
+        # zero-pv fallback: t := c_initial[i] single row, atten = 1 (ref :2452-2456)
+        c_final_fb = c_initial + w3(c_initial)
+        c_final = jnp.where((n_valid > 0)[:, None], c_final_main, c_final_fb)
+
+        if not self.with_lpm:
+            return c_final, None
+
+        # ----------------------------------------------------------- LPM
+        margin = cfg.margin
+        n_ent = cfg.num_negative_pv // 2
+        n_val = cfg.num_negative_pv - n_ent
+
+        cf = c_final.astype(jnp.float32)
+        pf = p_vecs.astype(jnp.float32)
+        vf = v_vecs.astype(jnp.float32)
+        pos = jnp.linalg.norm(cf[:, None, :] + pf - vf, axis=-1)     # [B, P]
+
+        # entity negatives: for each (i, j) sample n_ent items k != i
+        if neg_entity_idx is None:
+            cand_ok = jnp.broadcast_to(
+                ~jnp.eye(B, dtype=bool)[:, None, :], (B, P, B))
+            if deterministic:
+                rng = jax.random.PRNGKey(0)
+            else:
+                rng = self.make_rng("lpm")
+            rng_e, rng_v = jax.random.split(rng)
+            ent_idx, ent_ok = _sample_without_replacement(
+                rng_e, (B, P, B), cand_ok, n_ent)
+        else:
+            ent_idx = neg_entity_idx                                  # [B, P, n_ent]
+            ent_ok = jnp.ones(ent_idx.shape, dtype=bool)
+            rng_v = jax.random.PRNGKey(1)
+        ent_ok = ent_ok & valid[:, :, None] & (B > 1)
+        neg_ent = jnp.linalg.norm(
+            cf[ent_idx] + pf[:, :, None, :] - vf[:, :, None, :], axis=-1)  # [B,P,n_ent]
+
+        # value negatives: for each (i, j) sample n_val valid pairs k != j
+        if neg_value_idx is None:
+            pair_ok = valid[:, None, :] & ~jnp.eye(P, dtype=bool)[None, :, :]
+            pair_ok = jnp.broadcast_to(pair_ok, (B, P, P))
+            val_idx, val_ok = _sample_without_replacement(
+                rng_v, (B, P, P), pair_ok, max(n_val, 1))
+            val_idx = val_idx[..., :n_val]
+            val_ok = val_ok[..., :n_val]
+        else:
+            val_idx = neg_value_idx                                   # [B, P, n_val]
+            val_ok = jnp.ones(val_idx.shape, dtype=bool)
+        val_ok = val_ok & valid[:, :, None]
+        b_idx = jnp.arange(B)[:, None, None]
+        neg_val = jnp.linalg.norm(
+            cf[:, None, None, :] + pf[:, :, None, :] - vf[b_idx, val_idx],
+            axis=-1)                                                   # [B,P,n_val]
+
+        pos_e = jnp.broadcast_to(pos[:, :, None], neg_ent.shape)
+        pos_v = jnp.broadcast_to(pos[:, :, None], neg_val.shape)
+        if cfg.fix_reference_bugs:
+            # textbook TransE: positive norm should be SMALLER
+            rank = lambda p, n: jax.nn.relu(margin + p - n)
+        else:
+            # reference MarginRankingLoss(pos, neg, y=1) = relu(margin - pos + neg)
+            rank = lambda p, n: jax.nn.relu(margin - p + n)
+        total = (jnp.where(ent_ok, rank(pos_e, neg_ent), 0.0).sum()
+                 + jnp.where(val_ok, rank(pos_v, neg_val), 0.0).sum())
+        count = ent_ok.sum() + val_ok.sum()
+        loss = total / jnp.maximum(count, 1)
+        return c_final, loss
