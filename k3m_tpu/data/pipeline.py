@@ -1,0 +1,157 @@
+"""Online data loading: record file -> fixed-shape numpy batches.
+
+Replaces the reference tensorpack pipeline
+(`LMDBSerializer.load -> MapData(BertPreprocessBatch) -> PrefetchDataZMQ ->
+BatchData`, concept_cap_dataset_struc.py:344-367) with a seeded, threaded
+prefetch loader. Fixed shapes per batch make every step identically shaped
+for XLA (no recompilation).
+
+Reproducibility: sample i of epoch e is preprocessed with
+np.random.Generator(Philox(key=(seed, e, i))) — fully deterministic and
+independent of worker scheduling (unlike the reference's process-global
+`random`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from k3m_tpu.data.preprocess import (
+    PairPreprocessor, PretrainPreprocessor, ShapeSpec, add_global_image_token,
+)
+from k3m_tpu.data.records import RecordReader
+from k3m_tpu.tokenization import WordPieceTokenizer
+
+_SCALAR_KEYS = ("is_next", "is_next_pv_v", "is_next_pv_t", "label", "num_boxes")
+
+
+def _stack(samples, key):
+    return np.stack([s[key] for s in samples])
+
+
+class _LoaderBase:
+    def __init__(self, record_path: str, tokenizer: WordPieceTokenizer,
+                 shapes: ShapeSpec, batch_size: int, shuffle: bool,
+                 seed: int, drop_last: bool = True, prefetch: int = 4):
+        self.reader = RecordReader(record_path)
+        self.tokenizer = tokenizer
+        self.shapes = shapes
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+        self.num_dataset = len(self.reader)
+
+    def __len__(self) -> int:
+        n = self.num_dataset
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(self.num_dataset)
+        if self.shuffle:
+            np.random.default_rng((self.seed, self.epoch, 1)).shuffle(idx)
+        return idx
+
+    def _sample_rng(self, i: int) -> np.random.Generator:
+        # SeedSequence spawns a unique, order-independent stream per sample
+        return np.random.default_rng((self.seed, self.epoch, i, 0))
+
+    def _produce(self, out_q: "queue.Queue"):
+        try:
+            batch = []
+            for i in self._indices():
+                batch.append(self._map(int(i)))
+                if len(batch) == self.batch_size:
+                    out_q.put(self._collate(batch))
+                    batch = []
+            if batch and not self.drop_last:
+                out_q.put(self._collate(batch))
+        finally:
+            out_q.put(None)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()
+        self.epoch += 1
+
+    # subclasses implement _map / _collate
+
+
+class PretrainLoader(_LoaderBase):
+    """Pretrain loader matching ConceptCapLoaderTrain_struc/Val_struc
+    (ref :297-529) but yielding a dict-of-arrays batch."""
+
+    def __init__(self, record_path, tokenizer, shapes: Optional[ShapeSpec] = None,
+                 batch_size: int = 32, shuffle: bool = True, seed: int = 0,
+                 visual_target: int = 0, visualization: bool = False, **kw):
+        shapes = shapes or ShapeSpec()
+        super().__init__(record_path, tokenizer, shapes, batch_size, shuffle,
+                         seed, **kw)
+        self.preprocessor = PretrainPreprocessor(
+            tokenizer, shapes, visual_target=visual_target,
+            visualization=visualization)
+
+    def _map(self, i: int) -> Dict[str, np.ndarray]:
+        return self.preprocessor(self.reader[i], self._sample_rng(i))
+
+    def _collate(self, samples) -> Dict[str, np.ndarray]:
+        keys = [k for k in samples[0] if k != "item_id"]
+        batch = {k: _stack(samples, k) for k in keys}
+        batch["item_id"] = [s["item_id"] for s in samples]
+        # global image token: divide by count of NOT-co-masked regions
+        # (ref :381-397), min 1
+        sum_count = (batch["masked_label"] == 0).sum(axis=1, keepdims=True)
+        sum_count[sum_count == 0] = 1
+        feat, loc, mask = add_global_image_token(
+            batch["image_feat"], batch["image_loc"], batch["image_mask"],
+            sum_count)
+        batch["image_feat"], batch["image_loc"], batch["image_mask"] = feat, loc, mask
+        return batch
+
+
+class AlignmentLoader(_LoaderBase):
+    """Item-alignment pair loader matching K3MDataLoader (ref :179-294)."""
+
+    def __init__(self, record_path, tokenizer, shapes: Optional[ShapeSpec] = None,
+                 batch_size: int = 32, shuffle: bool = False, seed: int = 0,
+                 visual_target: int = 0, **kw):
+        shapes = shapes or ShapeSpec()
+        super().__init__(record_path, tokenizer, shapes, batch_size, shuffle,
+                         seed, **kw)
+        self.preprocessor = PairPreprocessor(tokenizer, shapes,
+                                             visual_target=visual_target)
+
+    def _map(self, i: int) -> Dict:
+        return self.preprocessor(self.reader[i])
+
+    @staticmethod
+    def _collate_item(items) -> Dict[str, np.ndarray]:
+        keys = [k for k in items[0] if k != "item_id"]
+        d = {k: _stack(items, k) for k in keys}
+        d["item_id"] = [s["item_id"] for s in items]
+        # global image token divides by num_boxes (ref post_process :272-294)
+        divisor = d.pop("num_boxes")[:, None].astype(np.float32)
+        feat, loc, mask = add_global_image_token(
+            d["image_feat"], d["image_loc"], d["image_mask"], divisor)
+        d["image_feat"], d["image_loc"], d["image_mask"] = feat, loc, mask
+        return d
+
+    def _collate(self, samples) -> Dict:
+        return dict(
+            label=np.stack([s["label"] for s in samples]).astype(np.float32),
+            item1=self._collate_item([s["item1"] for s in samples]),
+            item2=self._collate_item([s["item2"] for s in samples]),
+        )
