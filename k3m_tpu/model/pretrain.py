@@ -133,6 +133,7 @@ def masked_image_loss(cfg: K3MConfig, prediction_scores_v, image_label,
     `prediction_scores_v` must already exclude the global token ([:, 1:]).
     image_label: [B, R] with 1 = masked, -1 = unmasked.
     """
+    image_target = jnp.asarray(image_target, jnp.float32)
     masked = (image_label == 1)
     if cfg.visual_target == 1:  # MSE (ref :2746-2752)
         err = jnp.square(prediction_scores_v.astype(jnp.float32)
@@ -167,10 +168,10 @@ def masked_image_loss(cfg: K3MConfig, prediction_scores_v, image_label,
         col_inside == jnp.arange(R)[None, :, None], R - 1, col_inside)
     inside = jnp.arange(B)[:, None, None] * R + col_inside
     neg_index = jnp.concatenate([across, inside], axis=2)       # [B, R, N]
-    flat_target = image_target.reshape(B * R, -1).astype(jnp.float32)
+    flat_target = image_target.reshape(B * R, -1)
     negative = flat_target[neg_index]                           # [B, R, N, D]
-    sample = jnp.concatenate([image_target[:, :, None, :].astype(jnp.float32),
-                              negative], axis=2)                # [B, R, 1+N, D]
+    sample = jnp.concatenate([image_target[:, :, None, :], negative],
+                             axis=2)                            # [B, R, 1+N, D]
     score = jnp.einsum("brnd,brd->brn", sample,
                        prediction_scores_v.astype(jnp.float32))
     logp = jax.nn.log_softmax(score, axis=-1)

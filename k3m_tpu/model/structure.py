@@ -122,7 +122,8 @@ class StructureAggregator(nn.Module):
                 rng_e, (B, P, B), cand_ok, n_ent)
         else:
             ent_idx = neg_entity_idx                                  # [B, P, n_ent]
-            ent_ok = jnp.ones(ent_idx.shape, dtype=bool)
+            # validity derives from the indices: a real candidate is != i
+            ent_ok = ent_idx != jnp.arange(B)[:, None, None]
             rng_v = jax.random.PRNGKey(1)
         ent_ok = ent_ok & valid[:, :, None] & (B > 1)
         neg_ent = jnp.linalg.norm(
@@ -138,7 +139,9 @@ class StructureAggregator(nn.Module):
             val_ok = val_ok[..., :n_val]
         else:
             val_idx = neg_value_idx                                   # [B, P, n_val]
-            val_ok = jnp.ones(val_idx.shape, dtype=bool)
+            # a real candidate must be a VALID pair of the same item and != j
+            val_ok = (val_idx != jnp.arange(P)[None, :, None])
+            val_ok = val_ok & valid[jnp.arange(B)[:, None, None], val_idx]
         val_ok = val_ok & valid[:, :, None]
         b_idx = jnp.arange(B)[:, None, None]
         neg_val = jnp.linalg.norm(

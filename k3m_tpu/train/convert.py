@@ -1,0 +1,232 @@
+"""torch -> jax weight conversion.
+
+Covers two checkpoint families:
+
+  1. HF Chinese BERT (`bert-base-chinese` / `hfl/chinese-roberta-wwm-ext`
+     pytorch_model.bin) — the reference's pretrained init
+     (train_concap_struc.py:231-236, vilbert_k3m/utils.py:884-1086). Only the
+     text stream exists there; the rest stays freshly initialized, matching
+     the reference's partial-load behaviour.
+  2. Reference K3M checkpoints (`K3M_struc_presample-*_epoch-*.bin`,
+     train_concap_struc.py:691-705) — full-model load for parity testing and
+     migration.
+
+torch Linear stores [out, in]; flax Dense kernels are [in, out] (transposed).
+The reference's dead parameters (q_dense*, t_pooler/v_pooler,
+map_individual_to_bi — see model docstrings) are skipped.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Optional, Set, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model_state_dict" in sd:
+        sd = sd["model_state_dict"]
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _strip_prefix(name: str) -> str:
+    for p in ("bert.", "roberta.", "model."):
+        if name.startswith(p):
+            return name[len(p):]
+    return name
+
+
+def _linear(dst: Dict, flax_path: str, sd: Dict, torch_name: str) -> bool:
+    w, b = torch_name + ".weight", torch_name + ".bias"
+    if w not in sd:
+        return False
+    dst[flax_path + "/kernel"] = sd[w].T
+    if b in sd:
+        dst[flax_path + "/bias"] = sd[b]
+    return True
+
+
+def _layernorm(dst: Dict, flax_path: str, sd: Dict, torch_name: str) -> bool:
+    w = torch_name + ".weight"
+    if w not in sd:
+        return False
+    dst[flax_path + "/scale"] = sd[w]
+    dst[flax_path + "/bias"] = sd[torch_name + ".bias"]
+    return True
+
+
+def reference_to_flat(sd: Dict[str, np.ndarray],
+                      trunk: str = "trunk") -> Dict[str, np.ndarray]:
+    """Map a reference/HF torch state dict to '/'-joined flax param paths."""
+    sd = {_strip_prefix(k): v for k, v in sd.items()}
+    out: Dict[str, np.ndarray] = {}
+
+    # ---- embeddings
+    if "embeddings.word_embeddings.weight" in sd:
+        out[f"{trunk}/word_embeddings"] = sd["embeddings.word_embeddings.weight"]
+    for tname, fname in [("embeddings.position_embeddings.weight",
+                          f"{trunk}/embeddings/position_embeddings"),
+                         ("embeddings.token_type_embeddings.weight",
+                          f"{trunk}/embeddings/token_type_embeddings")]:
+        if tname in sd:
+            out[fname] = sd[tname]
+    _layernorm(out, f"{trunk}/embeddings/LayerNorm", sd, "embeddings.LayerNorm")
+
+    # ---- image embeddings
+    _linear(out, f"{trunk}/v_embeddings/image_embeddings", sd,
+            "v_embeddings.image_embeddings")
+    _linear(out, f"{trunk}/v_embeddings/image_location_embeddings", sd,
+            "v_embeddings.image_location_embeddings")
+    _layernorm(out, f"{trunk}/v_embeddings/LayerNorm", sd,
+               "v_embeddings.LayerNorm")
+
+    # ---- text layers
+    i = 0
+    while f"encoder.layer.{i}.attention.self.query.weight" in sd:
+        t = f"encoder.layer.{i}"
+        f = f"{trunk}/encoder/layer_{i}"
+        for proj in ("query", "key", "value"):
+            _linear(out, f"{f}/attention/{proj}", sd, f"{t}.attention.self.{proj}")
+        _linear(out, f"{f}/attention_output", sd, f"{t}.attention.output.dense")
+        _layernorm(out, f"{f}/attention_LayerNorm", sd,
+                   f"{t}.attention.output.LayerNorm")
+        _linear(out, f"{f}/intermediate", sd, f"{t}.intermediate.dense")
+        _linear(out, f"{f}/output", sd, f"{t}.output.dense")
+        _layernorm(out, f"{f}/output_LayerNorm", sd, f"{t}.output.LayerNorm")
+        i += 1
+
+    # ---- image layers
+    i = 0
+    while f"encoder.v_layer.{i}.attention.self.query.weight" in sd:
+        t = f"encoder.v_layer.{i}"
+        f = f"{trunk}/encoder/v_layer_{i}"
+        for proj in ("query", "key", "value"):
+            _linear(out, f"{f}/attention/{proj}", sd, f"{t}.attention.self.{proj}")
+        for proj in ("dyLinear_q", "dyLinear_k"):
+            _linear(out, f"{f}/{proj}", sd, f"{t}.attention.self.{proj}")
+        _linear(out, f"{f}/attention_output", sd, f"{t}.attention.output.dense")
+        _layernorm(out, f"{f}/attention_LayerNorm", sd,
+                   f"{t}.attention.output.LayerNorm")
+        _linear(out, f"{f}/intermediate", sd, f"{t}.intermediate.dense")
+        _linear(out, f"{f}/output", sd, f"{t}.output.dense")
+        _layernorm(out, f"{f}/output_LayerNorm", sd, f"{t}.output.LayerNorm")
+        i += 1
+
+    # ---- connection layers (c_layer, c_layer_pv_v, c_layer_pv_t)
+    for stack in ("c_layer", "c_layer_pv_v", "c_layer_pv_t"):
+        i = 0
+        while f"encoder.{stack}.{i}.biattention.query1.weight" in sd:
+            t = f"encoder.{stack}.{i}"
+            f = f"{trunk}/encoder/{stack}_{i}"
+            for proj in ("query1", "key1", "value1", "query2", "key2", "value2"):
+                _linear(out, f"{f}/biattention/{proj}", sd, f"{t}.biattention.{proj}")
+            _linear(out, f"{f}/bi_dense1", sd, f"{t}.biOutput.dense1")
+            _layernorm(out, f"{f}/bi_LayerNorm1", sd, f"{t}.biOutput.LayerNorm1")
+            _linear(out, f"{f}/bi_dense2", sd, f"{t}.biOutput.dense2")
+            _layernorm(out, f"{f}/bi_LayerNorm2", sd, f"{t}.biOutput.LayerNorm2")
+            _linear(out, f"{f}/v_intermediate", sd, f"{t}.v_intermediate.dense")
+            _linear(out, f"{f}/v_output", sd, f"{t}.v_output.dense")
+            _layernorm(out, f"{f}/v_output_LayerNorm", sd, f"{t}.v_output.LayerNorm")
+            _linear(out, f"{f}/t_intermediate", sd, f"{t}.t_intermediate.dense")
+            _linear(out, f"{f}/t_output", sd, f"{t}.t_output.dense")
+            _layernorm(out, f"{f}/t_output_LayerNorm", sd, f"{t}.t_output.LayerNorm")
+            i += 1
+
+    # ---- fusion scores + struct aggregator + mapping
+    for mod in ("v", "t", "pv"):
+        for score in ("score_self", "score_cross1", "score_cross2", "soft"):
+            _linear(out, f"{trunk}/fusion/fusion_{mod}/{score}_{mod}", sd,
+                    f"{score}_{mod}")
+    _linear(out, f"{trunk}/fusion/map_bi_to_individual", sd, "map_bi_to_individual")
+    for w in ("struc_w1", "struc_w2", "struc_w3"):
+        _linear(out, f"structure/{w}", sd, w)
+
+    # ---- pretraining heads
+    _linear(out, "cls/predictions/transform_dense", sd,
+            "cls.predictions.transform.dense")
+    _layernorm(out, "cls/predictions/transform_LayerNorm", sd,
+               "cls.predictions.transform.LayerNorm")
+    if "cls.predictions.bias" in sd:
+        out["cls/predictions/decoder_bias"] = sd["cls.predictions.bias"]
+    _linear(out, "cls/seq_relationship", sd, "cls.seq_relationship")
+    _linear(out, "cls/imagePredictions/transform_dense", sd,
+            "cls.imagePredictions.transform.dense")
+    _layernorm(out, "cls/imagePredictions/transform_LayerNorm", sd,
+               "cls.imagePredictions.transform.LayerNorm")
+    _linear(out, "cls/imagePredictions/decoder", sd, "cls.imagePredictions.decoder")
+
+    # ---- alignment classifier
+    _linear(out, "classifier/dense", sd, "classifier.dense")
+    _linear(out, "classifier/out_proj", sd, "classifier.out_proj")
+    return out
+
+
+def _flatten(params, prefix="") -> Dict[str, Any]:
+    out = {}
+    for k, v in params.items():
+        path = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, path))
+        else:
+            out[path] = v
+    return out
+
+
+def _set_path(tree: Dict, path: str, value) -> None:
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node[k]
+    node[keys[-1]] = value
+
+
+def merge_flat_into_params(params, flat: Dict[str, np.ndarray]
+                           ) -> Tuple[Any, Set[str], Set[str]]:
+    """Copy matching flat entries into a (nested dict) param tree.
+    Returns (new_params, loaded_paths, skipped_paths)."""
+    import jax
+
+    tree = jax.tree.map(lambda x: x, params)  # copy structure
+    inner = tree["params"] if "params" in tree else tree
+    existing = _flatten(inner)
+    loaded, skipped = set(), set()
+    for path, value in flat.items():
+        if path in existing:
+            cur = existing[path]
+            if tuple(cur.shape) != tuple(value.shape):
+                logger.warning("shape mismatch %s: %s vs %s", path,
+                               cur.shape, value.shape)
+                skipped.add(path)
+                continue
+            _set_path(inner, path, np.asarray(value, dtype=np.float32))
+            loaded.add(path)
+        else:
+            skipped.add(path)
+    return tree, loaded, skipped
+
+
+def load_pretrained_into_params(params, torch_path: str):
+    sd = load_torch_state_dict(torch_path)
+    flat = reference_to_flat(sd)
+    new_params, loaded, skipped = merge_flat_into_params(params, flat)
+    logger.info("loaded %d tensors from %s (%d unmatched)", len(loaded),
+                torch_path, len(skipped))
+    return new_params
+
+
+def load_pretrained_bert_paths(torch_path: str) -> Set[str]:
+    """Param paths that came from the pretrained checkpoint -> 0.1x LR set
+    (ref train_concap_struc.py:372-373)."""
+    sd = load_torch_state_dict(torch_path)
+    return set("params/" + p for p in reference_to_flat(sd))

@@ -1,0 +1,218 @@
+"""Pretraining driver: one jitted SPMD train step + epoch loop.
+
+Replaces the reference's train loops (train_concap_struc.py:466-705,
+pretrain.py:390-711) with a single `jax.jit`-compiled step over a device
+mesh. Differences by design (TPU-first):
+
+  * grads are averaged by GSPMD all-reduce on ICI, not DDP/NCCL;
+  * loss logging is ASYNC: device scalars are fetched only every
+    `log_steps`, so the step loop never blocks on D2H (the reference
+    syncs every step, train_concap_struc.py:544-555 — its top non-compute
+    bottleneck);
+  * mixed precision is bf16 compute (config.dtype), no loss scaling needed.
+
+Loss composition (ref :481-533):
+  objective == 1: zero lm/image labels of rows where any is_next label != 0
+  objective == 2: zero the alignment loss
+  loss = masked_loss_t + masked_loss_v * loss_img_weight
+         + masked_loss_pv + loss_struc      (alignment CE is logged only)
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from k3m_tpu.config import K3MConfig
+from k3m_tpu.model.pretrain import K3MForPretraining
+from k3m_tpu.train import mesh as mesh_lib
+from k3m_tpu.train.optim import make_optimizer
+from k3m_tpu.train.state import CheckpointManager, TrainState
+
+logger = logging.getLogger(__name__)
+
+LOSS_KEYS = ("masked_lm_loss", "masked_img_loss", "masked_lm_loss_pv",
+             "next_sentence_loss_t_v_pv", "loss_struc", "loss")
+
+BATCH_KEYS = ("input_ids", "input_mask", "segment_ids", "lm_label_ids",
+              "is_next", "input_ids_pv", "input_mask_pv", "segment_ids_pv",
+              "lm_label_ids_pv", "is_next_pv_v", "is_next_pv_t",
+              "index_p", "index_v", "image_feat", "image_loc", "image_target",
+              "image_label", "image_mask")
+
+
+def device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {k: batch[k] for k in BATCH_KEYS if k in batch}
+
+
+def apply_objective(batch: Dict[str, jnp.ndarray], objective: int
+                    ) -> Dict[str, jnp.ndarray]:
+    """objective==1 label zeroing (ref train_concap_struc.py:481-493)."""
+    if objective != 1:
+        return batch
+    if_replace = (batch["is_next"] + batch["is_next_pv_v"]
+                  + batch["is_next_pv_t"])
+    keep = (if_replace == 0).astype(jnp.int32)[:, None]
+
+    def zero_to_ignore(labels):
+        z = labels * keep
+        return jnp.where(z == 0, -1, z)
+
+    out = dict(batch)
+    out["image_label"] = zero_to_ignore(batch["image_label"])
+    out["lm_label_ids"] = zero_to_ignore(batch["lm_label_ids"])
+    out["lm_label_ids_pv"] = zero_to_ignore(batch["lm_label_ids_pv"])
+    return out
+
+
+class PretrainTrainer:
+    def __init__(self, config: K3MConfig, *,
+                 learning_rate: float = 1e-4,
+                 warmup_steps: int = 0,
+                 total_steps: int = 1000,
+                 weight_decay: float = 0.01,
+                 grad_accum_steps: int = 1,
+                 loss_img_weight: float = 1.0,
+                 objective: int = 0,
+                 seed: int = 42,
+                 n_model: int = 1,
+                 pretrained_paths=None,
+                 mesh: Optional[Any] = None,
+                 sample_batch: Optional[Dict[str, np.ndarray]] = None):
+        self.config = config
+        self.model = K3MForPretraining(config)
+        self.loss_img_weight = loss_img_weight
+        self.objective = objective
+        self.base_rng = jax.random.PRNGKey(seed)
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            n_model=n_model)
+
+        if sample_batch is None:
+            raise ValueError("sample_batch required to initialize parameters")
+        sample = device_batch(sample_batch)
+        init_rngs = {"params": self.base_rng,
+                     "gumbel": jax.random.fold_in(self.base_rng, 1),
+                     "lpm": jax.random.fold_in(self.base_rng, 2)}
+        shapes = jax.eval_shape(
+            lambda: self.model.init(init_rngs, sample, deterministic=True))
+        p_shardings = mesh_lib.params_shardings(shapes, self.mesh)
+        params = jax.jit(
+            lambda: self.model.init(init_rngs, sample, deterministic=True),
+            out_shardings=p_shardings)()
+        self.tx = make_optimizer(
+            params, learning_rate, warmup_steps, total_steps,
+            weight_decay=weight_decay, grad_accum_steps=grad_accum_steps,
+            pretrained_paths=pretrained_paths)
+        # optimizer moments inherit the parameter shardings via jit inference
+        opt_state = jax.jit(self.tx.init)(params)
+        self.state = TrainState(step=0, params=params, opt_state=opt_state)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------- steps
+
+    def _losses(self, params, batch, rngs, deterministic: bool):
+        out = self.model.apply(params, batch, deterministic=deterministic,
+                               rngs=rngs)
+        align = out["next_sentence_loss_t_v_pv"]
+        if self.objective == 2:
+            align = align * 0.0  # ref :497-500
+        loss = (out["masked_lm_loss"]
+                + out["masked_img_loss"] * self.loss_img_weight
+                + out["masked_lm_loss_pv"] + out["loss_struc"])
+        metrics = dict(
+            loss=loss,
+            masked_lm_loss=out["masked_lm_loss"],
+            masked_img_loss=out["masked_img_loss"] * self.loss_img_weight,
+            masked_lm_loss_pv=out["masked_lm_loss_pv"],
+            next_sentence_loss_t_v_pv=align,
+            loss_struc=out["loss_struc"],
+        )
+        return loss, metrics
+
+    def _build_train_step(self):
+        mesh = self.mesh
+
+        def step_fn(state: TrainState, batch):
+            batch = apply_objective(batch, self.objective)
+            rng = jax.random.fold_in(self.base_rng, state.step)
+            rngs = {"dropout": rng,
+                    "gumbel": jax.random.fold_in(rng, 1),
+                    "lpm": jax.random.fold_in(rng, 2)}
+
+            def loss_fn(p):
+                return self._losses(p, batch, rngs, deterministic=False)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(self.tx, grads)
+            return new_state, metrics
+
+        del mesh
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def step_fn(params, batch):
+            batch = apply_objective(batch, self.objective)
+            _, metrics = self._losses(
+                params, batch, rngs={}, deterministic=True)
+            return metrics
+        return jax.jit(step_fn)
+
+    # -------------------------------------------------------------- api
+
+    def train_step(self, batch: Dict[str, np.ndarray]):
+        db = mesh_lib.shard_batch(device_batch(batch), self.mesh)
+        self.state, metrics = self._train_step(self.state, db)
+        return metrics
+
+    def eval_step(self, batch: Dict[str, np.ndarray]):
+        db = mesh_lib.shard_batch(device_batch(batch), self.mesh)
+        return self._eval_step(self.state.params, db)
+
+    def fit(self, train_loader: Iterable, val_loader: Optional[Iterable] = None,
+            num_epochs: int = 1, start_epoch: int = 0, log_steps: int = 20,
+            checkpoint_dir: Optional[str] = None):
+        ckpt = (CheckpointManager(checkpoint_dir, self.config)
+                if checkpoint_dir else None)
+        history = []
+        for epoch in range(start_epoch, num_epochs):
+            t0 = time.time()
+            pending = []   # async metric fetch: never block the step loop
+            n_samples = 0
+            for step, batch in enumerate(train_loader):
+                metrics = self.train_step(batch)
+                pending.append(metrics)
+                n_samples += batch["input_ids"].shape[0]
+                if (step + 1) % log_steps == 0:
+                    m = jax.device_get(pending[-1])
+                    logger.info(
+                        "epoch %d step %d loss %.3f t %.3f v %.3f pv %.3f "
+                        "tri %.3f align %.3f", epoch, step + 1,
+                        float(m["loss"]), float(m["masked_lm_loss"]),
+                        float(m["masked_img_loss"]),
+                        float(m["masked_lm_loss_pv"]), float(m["loss_struc"]),
+                        float(m["next_sentence_loss_t_v_pv"]))
+                    pending = pending[-1:]
+            dt = time.time() - t0
+            epoch_summary = dict(epoch=epoch, seconds=dt,
+                                 samples_per_sec=n_samples / max(dt, 1e-9))
+            if val_loader is not None:
+                vals = []
+                for batch in val_loader:
+                    vals.append(jax.device_get(self.eval_step(batch)))
+                for k in LOSS_KEYS:
+                    epoch_summary[f"val_{k}"] = float(
+                        np.mean([v[k] for v in vals])) if vals else float("nan")
+                logger.info("epoch %d eval: %s", epoch, {
+                    k: round(v, 4) for k, v in epoch_summary.items()
+                    if k.startswith("val_")})
+            if ckpt is not None:
+                ckpt.save(jax.device_get(self.state), epoch)
+            history.append(epoch_summary)
+        return history

@@ -1,0 +1,89 @@
+"""Train state + checkpointing.
+
+The reference saves per-epoch (a) a bare state_dict `.bin` and (b) a full
+`{model, optimizer, scheduler, global_step}` `.tar`
+(train_concap_struc.py:691-705, pretrain.py:695-711). Here:
+
+  * orbax checkpoints hold the full train state (params + optimizer state +
+    step) for exact resume — the `.tar` equivalent;
+  * a flax-msgpack params-only file (`params.msgpack`) is the `.bin`
+    equivalent, loadable for finetune init.
+
+A torch->jax converter for reference/HF BERT checkpoints lives in
+k3m_tpu/train/convert.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import optax
+from flax import serialization
+from flax import struct
+
+from k3m_tpu.config import K3MConfig
+
+
+@struct.dataclass
+class TrainState:
+    step: int
+    params: Any
+    opt_state: Any
+
+    def apply_gradients(self, tx: optax.GradientTransformation, grads):
+        updates, new_opt_state = tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state)
+
+
+def save_params_msgpack(params, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params_msgpack(params_template, path: str):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(params_template, f.read())
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: per-epoch full-state save + params-only export."""
+
+    def __init__(self, directory: str, config: Optional[K3MConfig] = None):
+        import orbax.checkpoint as ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        if config is not None:
+            with open(os.path.join(self.directory, "config.json"), "w") as f:
+                f.write(config.to_json_string())
+
+    def save(self, state: TrainState, epoch: int) -> str:
+        path = os.path.join(self.directory, f"epoch_{epoch}")
+        self._ckptr.save(os.path.join(path, "state"), state)
+        save_params_msgpack(state.params, os.path.join(path, "params.msgpack"))
+        self._ckptr.wait_until_finished()
+        with open(os.path.join(self.directory, "latest.json"), "w") as f:
+            json.dump({"epoch": epoch}, f)
+        return path
+
+    def latest_epoch(self) -> Optional[int]:
+        meta = os.path.join(self.directory, "latest.json")
+        if not os.path.exists(meta):
+            return None
+        with open(meta) as f:
+            return json.load(f)["epoch"]
+
+    def restore(self, state_template: TrainState,
+                epoch: Optional[int] = None) -> Optional[TrainState]:
+        epoch = epoch if epoch is not None else self.latest_epoch()
+        if epoch is None:
+            return None
+        path = os.path.join(self.directory, f"epoch_{epoch}", "state")
+        return self._ckptr.restore(path, state_template)

@@ -1,0 +1,74 @@
+"""Test configuration: force the CPU backend with a virtual 8-device mesh
+(the JAX-native way to test multi-chip sharding without hardware) and a
+persistent compilation cache so repeated runs are fast."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/k3m_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from k3m_tpu.config import K3MConfig  # noqa: E402
+
+
+TINY = K3MConfig(
+    vocab_size=300, hidden_size=32, num_hidden_layers=4,
+    num_attention_heads=4, intermediate_size=64, v_feature_size=16,
+    v_target_size=11, v_hidden_size=24, v_num_hidden_layers=2,
+    v_num_attention_heads=4, v_intermediate_size=24, bi_hidden_size=24,
+    bi_num_attention_heads=4, v_biattention_id=(0, 1), t_biattention_id=(2, 3),
+    max_position_embeddings=64, num_negative_pv=4, if_pre_sampling=1)
+
+
+@pytest.fixture(scope="session")
+def tiny_config():
+    return TINY
+
+
+def make_pretrain_batch(cfg: K3MConfig, B=3, L=10, Lpv=16, R=5, P=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return dict(
+        input_ids=rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32),
+        input_mask=np.ones((B, L), np.int32),
+        segment_ids=np.zeros((B, L), np.int32),
+        lm_label_ids=np.where(
+            rng.random((B, L)) < 0.2,
+            rng.integers(0, cfg.vocab_size, (B, L)), -1).astype(np.int32),
+        is_next=np.zeros((B,), np.int32),
+        input_ids_pv=rng.integers(1, cfg.vocab_size, (B, Lpv)).astype(np.int32),
+        input_mask_pv=np.ones((B, Lpv), np.int32),
+        segment_ids_pv=np.zeros((B, Lpv), np.int32),
+        lm_label_ids_pv=np.where(
+            rng.random((B, Lpv)) < 0.2,
+            rng.integers(0, cfg.vocab_size, (B, Lpv)), -1).astype(np.int32),
+        is_next_pv_v=np.zeros((B,), np.int32),
+        is_next_pv_t=np.zeros((B,), np.int32),
+        index_p=np.concatenate([
+            rng.integers(1, Lpv, (B, 2, 2)), np.zeros((B, P - 2, 2), int)],
+            axis=1).astype(np.int32),
+        index_v=np.concatenate([
+            rng.integers(1, Lpv, (B, 2, 2)), np.zeros((B, P - 2, 2), int)],
+            axis=1).astype(np.int32),
+        image_feat=rng.normal(size=(B, R + 1, cfg.v_feature_size)).astype(np.float32),
+        image_loc=rng.normal(size=(B, R + 1, 5)).astype(np.float32),
+        image_mask=np.ones((B, R + 1), np.int32),
+        image_label=np.where(rng.random((B, R)) < 0.3, 1, -1).astype(np.int32),
+        image_target=np.abs(rng.normal(size=(B, R, cfg.v_target_size))
+                            ).astype(np.float32),
+    )
+
+
+@pytest.fixture()
+def pretrain_batch(tiny_config):
+    return make_pretrain_batch(tiny_config)
