@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""K3M item-alignment finetune / eval / predict CLI — flag-compatible with
+the reference `finetune.py` (flags :1223-1290; behaviour :637-1212), running
+on the TPU-native k3m_tpu stack.
+
+Data: K3MR pair record files produced by
+`python -m k3m_tpu.data.prepare --pairs pairs.jsonl --features feats.k3mr`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+logging.basicConfig(
+    format="%(asctime)s %(levelname)-4s [%(filename)s:%(lineno)s]  %(message)s",
+    datefmt="%Y/%m/%d %H:%M:%S", level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", required=True, type=str)
+    p.add_argument("--output_dir", required=True, type=str)
+    p.add_argument("--file_train", default="train_item_alignment.k3mr", type=str)
+    p.add_argument("--file_valid", default="valid_item_alignment.k3mr", type=str)
+    p.add_argument("--file_test", default="test_item_alignment.k3mr", type=str)
+    p.add_argument("--model_name", default="bert-base-chinese", type=str)
+    p.add_argument("--config_file", default="bert_base_6layer_6conect.json", type=str)
+    p.add_argument("--pretrained_model_path", default=None, type=str)
+    p.add_argument("--file_state_dict", default="", type=str)
+    p.add_argument("--log_steps", default=10, type=int)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_eval", action="store_true")
+    p.add_argument("--do_pred", action="store_true")
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--train_batch_size", default=32, type=int)
+    p.add_argument("--eval_batch_size", default=32, type=int)
+    p.add_argument("--learning_rate", default=5e-5, type=float)
+    p.add_argument("--num_train_epochs", default=10.0, type=float)
+    p.add_argument("--warmup_proportion", default=0.3, type=float)
+    p.add_argument("--gradient_accumulation_steps", default=1, type=int)
+    p.add_argument("--if_pre_sampling", default=1, type=int)
+    p.add_argument("--objective", default=2, type=int)
+    p.add_argument("--loss_type", default="inner", type=str,
+                   choices=["inner", "cosine", "ce"])
+    p.add_argument("--threshold", default=0.5, type=float)
+    p.add_argument("--max_seq_length", default=50, type=int)
+    p.add_argument("--max_seq_length_pv", default=256, type=int)
+    p.add_argument("--max_num_pv", default=30, type=int)
+    p.add_argument("--max_region_length", default=36, type=int)
+    p.add_argument("--dynamic_attention", action="store_true")
+    p.add_argument("--visual_target", default=0, type=int)
+    p.add_argument("--fp16", action="store_true")
+    # TPU-native extensions
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--n_model", default=1, type=int)
+    p.add_argument("--vocab_file", default=None, type=str)
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    from k3m_tpu.config import K3MConfig
+    from k3m_tpu.data.pipeline import AlignmentLoader
+    from k3m_tpu.data.preprocess import ShapeSpec
+    from k3m_tpu.tokenization import get_tokenizer
+    from k3m_tpu.train.alignment_loop import AlignmentTrainer
+
+    candidates = [os.path.join(args.output_dir, args.config_file),
+                  os.path.join(os.path.dirname(__file__), "k3m_tpu", "configs",
+                               args.config_file), args.config_file]
+    config = next(K3MConfig.from_json_file(c) for c in candidates
+                  if os.path.exists(c))
+    config = config.replace(
+        if_pre_sampling=args.if_pre_sampling, loss_type=args.loss_type,
+        dynamic_attention=args.dynamic_attention,
+        visual_target=args.visual_target,
+        dtype="bfloat16" if args.bf16 else "float32",
+        model="roberta" if "roberta" in (args.model_name or "") else "bert")
+
+    tokenizer = get_tokenizer(args.vocab_file, config.vocab_size)
+    shapes = ShapeSpec(max_seq_len=args.max_seq_length,
+                       max_seq_len_pv=args.max_seq_length_pv,
+                       max_num_pv=args.max_num_pv,
+                       max_region_len=args.max_region_length,
+                       v_feature_size=config.v_feature_size,
+                       v_target_size=config.v_target_size)
+
+    def loader(name, batch_size, shuffle):
+        path = os.path.join(args.data_dir, name)
+        if not os.path.exists(path):
+            return None
+        return AlignmentLoader(path, tokenizer, shapes, batch_size=batch_size,
+                               shuffle=shuffle, seed=args.seed,
+                               visual_target=args.visual_target)
+
+    train_loader = loader(args.file_train, args.train_batch_size, True)
+    val_loader = loader(args.file_valid, args.eval_batch_size, False)
+    test_loader = loader(args.file_test, args.eval_batch_size, False)
+
+    sample_loader = train_loader or val_loader or test_loader
+    if sample_loader is None:
+        raise FileNotFoundError("no alignment record files found")
+    sample_batch = next(iter(sample_loader))
+
+    steps_per_epoch = max(len(sample_loader), 1)
+    total_steps = int(steps_per_epoch * args.num_train_epochs)
+    trainer = AlignmentTrainer(
+        config, learning_rate=args.learning_rate,
+        warmup_steps=int(args.warmup_proportion * total_steps),
+        total_steps=total_steps,
+        grad_accum_steps=args.gradient_accumulation_steps,
+        seed=args.seed, n_model=args.n_model, sample_batch=sample_batch)
+
+    if args.pretrained_model_path:
+        from k3m_tpu.train.convert import load_pretrained_into_params
+        trainer.state = trainer.state.replace(params=load_pretrained_into_params(
+            trainer.state.params, args.pretrained_model_path))
+    if args.file_state_dict:
+        from k3m_tpu.train.state import load_params_msgpack
+        trainer.state = trainer.state.replace(params=load_params_msgpack(
+            trainer.state.params, args.file_state_dict))
+
+    if args.do_train:
+        history = trainer.fit(train_loader,
+                              val_loader if args.do_eval else None,
+                              num_epochs=int(args.num_train_epochs),
+                              log_steps=args.log_steps,
+                              checkpoint_dir=args.output_dir)
+        logger.info("history: %s", history)
+    elif args.do_eval and val_loader is not None:
+        trainer.evaluate(val_loader)
+    if args.do_pred and test_loader is not None:
+        out = os.path.join(args.output_dir,
+                           f"deepAI_result_threshold={args.threshold}.jsonl")
+        trainer.predict(test_loader, out, threshold=args.threshold,
+                        log_steps=args.log_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,24 @@ class BiAttention(nn.Module):
         q1, k1, v1 = d("query1")(x1), d("key1")(x1), d("value1")(x1)
         q2, k2, v2 = d("query2")(x2), d("key2")(x2), d("value2")(x2)
         h = self.num_heads
+
+        if cfg.use_pallas:
+            on_cpu = jax.default_backend() == "cpu"
+            r1 = 0.0 if deterministic else self.dropout1
+            r2 = 0.0 if deterministic else self.dropout2
+            if not (on_cpu and (r1 > 0.0 or r2 > 0.0)):
+                from k3m_tpu.kernels.coattn import padded_fused_biattention
+                seed = 0
+                if (r1 > 0.0 or r2 > 0.0):
+                    seed = jax.random.randint(self.make_rng("dropout"), (),
+                                              0, 2**31 - 1)
+                ctx1, ctx2 = padded_fused_biattention(
+                    split_heads(q1, h), split_heads(k1, h), split_heads(v1, h),
+                    bias1,
+                    split_heads(q2, h), split_heads(k2, h), split_heads(v2, h),
+                    bias2, seed, dropout1=r1, dropout2=r2, interpret=on_cpu)
+                return merge_heads(ctx1), merge_heads(ctx2)
+
         # context1: stream2 queries attend stream1 keys/values (ref :786-802)
         ctx1 = attention_core(split_heads(q2, h), split_heads(k1, h),
                               split_heads(v1, h), bias1,

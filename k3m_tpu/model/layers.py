@@ -67,12 +67,27 @@ def mask_to_bias(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def attention_core(q, k, v, bias, *, dropout_rate: float, deterministic: bool,
-                   dropout_rng_module: Optional[nn.Module] = None,
-                   module: Optional[nn.Module] = None):
+                   module: Optional[nn.Module] = None,
+                   use_pallas: bool = False):
     """Scaled dot-product attention over [B, H, L, D] tensors.
 
     Softmax runs in fp32 for numerical parity regardless of compute dtype.
+    With use_pallas, runs the fused VMEM-resident kernel
+    (k3m_tpu/kernels/attention.py); on CPU backends it falls back to the
+    unfused path (interpret-mode PRNG dropout is unsupported).
     """
+    if use_pallas:
+        on_cpu = jax.default_backend() == "cpu"
+        rate = 0.0 if deterministic else dropout_rate
+        if not (on_cpu and rate > 0.0):
+            from k3m_tpu.kernels.attention import padded_fused_attention
+            seed = 0
+            if rate > 0.0 and module is not None:
+                seed = jax.random.randint(module.make_rng("dropout"), (),
+                                          0, 2**31 - 1)
+            return padded_fused_attention(q, k, v, bias, seed,
+                                          dropout_rate=rate,
+                                          interpret=on_cpu)
     head_dim = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
@@ -174,7 +189,7 @@ class SelfAttention(nn.Module):
             split_heads(q, self.num_heads), split_heads(k, self.num_heads),
             split_heads(v, self.num_heads), bias,
             dropout_rate=self.attn_dropout, deterministic=deterministic,
-            module=self)
+            module=self, use_pallas=cfg.use_pallas)
         return merge_heads(ctx)
 
 

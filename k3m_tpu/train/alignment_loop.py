@@ -1,0 +1,173 @@
+"""Item-alignment finetune: train loop, threshold-sweep eval, prediction.
+
+Parity target: reference `finetune.py` (train :850-984, eval threshold sweep
+:1092-1096, predict jsonl dump :1116-1212)."""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from k3m_tpu.config import K3MConfig
+from k3m_tpu.model.alignment import K3MForItemAlignment
+from k3m_tpu.train import mesh as mesh_lib
+from k3m_tpu.train.optim import make_optimizer
+from k3m_tpu.train.state import CheckpointManager, TrainState
+
+logger = logging.getLogger(__name__)
+
+ITEM_KEYS = ("input_ids", "input_mask", "segment_ids", "input_ids_pv",
+             "input_mask_pv", "segment_ids_pv", "index_p", "index_v",
+             "image_feat", "image_loc", "image_mask")
+
+
+def device_item(item: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {k: item[k] for k in ITEM_KEYS if k in item}
+
+
+def precision_recall_f1(labels: np.ndarray, preds: np.ndarray):
+    tp = float(((preds == 1) & (labels == 1)).sum())
+    fp = float(((preds == 1) & (labels == 0)).sum())
+    fn = float(((preds == 0) & (labels == 1)).sum())
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return p, r, f1
+
+
+class AlignmentTrainer:
+    def __init__(self, config: K3MConfig, *,
+                 learning_rate: float = 5e-5,
+                 warmup_steps: int = 0,
+                 total_steps: int = 1000,
+                 grad_accum_steps: int = 1,
+                 seed: int = 42,
+                 n_model: int = 1,
+                 mesh: Optional[Any] = None,
+                 sample_batch: Optional[Dict] = None):
+        self.config = config
+        self.model = K3MForItemAlignment(config)
+        self.base_rng = jax.random.PRNGKey(seed)
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            n_model=n_model)
+        if sample_batch is None:
+            raise ValueError("sample_batch required")
+        label = sample_batch["label"]
+        i1 = device_item(sample_batch["item1"])
+        i2 = device_item(sample_batch["item2"])
+        init_rngs = {"params": self.base_rng,
+                     "gumbel": jax.random.fold_in(self.base_rng, 1)}
+        shapes = jax.eval_shape(lambda: self.model.init(
+            init_rngs, label, i1, i2, deterministic=True))
+        p_shardings = mesh_lib.params_shardings(shapes, self.mesh)
+        params = jax.jit(lambda: self.model.init(
+            init_rngs, label, i1, i2, deterministic=True),
+            out_shardings=p_shardings)()
+        self.tx = make_optimizer(params, learning_rate, warmup_steps,
+                                 total_steps,
+                                 grad_accum_steps=grad_accum_steps)
+        opt_state = jax.jit(self.tx.init)(params)
+        self.state = TrainState(step=0, params=params, opt_state=opt_state)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    def _build_train_step(self):
+        def step_fn(state: TrainState, label, i1, i2):
+            rng = jax.random.fold_in(self.base_rng, state.step)
+            rngs = {"dropout": rng, "gumbel": jax.random.fold_in(rng, 1)}
+
+            def loss_fn(p):
+                e1, e2, probs, loss = self.model.apply(
+                    p, label, i1, i2, deterministic=False, rngs=rngs)
+                return loss, probs
+
+            (loss, probs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(self.tx, grads), loss, probs
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def step_fn(params, label, i1, i2):
+            return self.model.apply(params, label, i1, i2, deterministic=True)
+        return jax.jit(step_fn)
+
+    def train_step(self, batch):
+        self.state, loss, probs = self._train_step(
+            self.state, batch["label"], device_item(batch["item1"]),
+            device_item(batch["item2"]))
+        return loss, probs
+
+    def eval_step(self, batch):
+        return self._eval_step(self.state.params, batch["label"],
+                               device_item(batch["item1"]),
+                               device_item(batch["item2"]))
+
+    # ------------------------------------------------------------ phases
+
+    def fit(self, train_loader: Iterable, val_loader=None, num_epochs: int = 1,
+            log_steps: int = 20, checkpoint_dir: Optional[str] = None):
+        ckpt = (CheckpointManager(checkpoint_dir, self.config)
+                if checkpoint_dir else None)
+        history = []
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            n = 0
+            for step, batch in enumerate(train_loader):
+                loss, _ = self.train_step(batch)
+                n += len(batch["label"])
+                if (step + 1) % log_steps == 0:
+                    logger.info("epoch %d step %d loss %.4f", epoch, step + 1,
+                                float(jax.device_get(loss)))
+            summary = dict(epoch=epoch, seconds=time.time() - t0,
+                           samples_per_sec=n / max(time.time() - t0, 1e-9))
+            if val_loader is not None:
+                summary["sweep"] = self.evaluate(val_loader, epoch)
+            if ckpt is not None:
+                ckpt.save(jax.device_get(self.state), epoch)
+            history.append(summary)
+        return history
+
+    def evaluate(self, loader: Iterable, epoch: int = 0):
+        """Threshold sweep 0.1..0.9 P/R/F1 (ref :1092-1096)."""
+        all_probs, all_labels = [], []
+        for batch in loader:
+            _, _, probs, _ = jax.device_get(self.eval_step(batch))
+            all_probs.append(np.asarray(probs))
+            all_labels.append(np.asarray(batch["label"]))
+        probs = np.concatenate(all_probs)
+        labels = np.concatenate(all_labels).astype(int)
+        sweep = {}
+        for threshold in np.arange(0.1, 1.0, 0.1):
+            p, r, f1 = precision_recall_f1(labels, (probs >= threshold).astype(int))
+            sweep[round(float(threshold), 1)] = dict(precision=p, recall=r, f1=f1)
+            logger.info("[Epoch-%d] threshold=%.1f precision=%.4f recall=%.4f "
+                        "f1=%.4f", epoch, threshold, p, r, f1)
+        return sweep
+
+    def predict(self, loader: Iterable, output_path: str,
+                threshold: float = 0.5, log_steps: int = 100):
+        """Embedding dump, format-compatible with ref :1119-1212."""
+        os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+        with open(output_path, "w", encoding="utf-8") as w:
+            for step, batch in enumerate(loader):
+                e1, e2, probs, _ = jax.device_get(self.eval_step(batch))
+                ids1 = batch["item1"].get("item_id", [""] * len(e1))
+                ids2 = batch["item2"].get("item_id", [""] * len(e2))
+                for sid, tid, se, te in zip(ids1, ids2, np.asarray(e1),
+                                            np.asarray(e2)):
+                    fmt = lambda e: ("[" + ",".join(str(x) for x in e) + "]"
+                                     if e.ndim else str(e))
+                    w.write(json.dumps({
+                        "src_item_id": sid, "src_item_emb": fmt(se),
+                        "tgt_item_id": tid, "tgt_item_emb": fmt(te),
+                        "threshold": threshold}) + "\n")
+                if log_steps and step % log_steps == 0:
+                    logger.info("[Prediction] %d batches processed", step)
+        logger.info("[Prediction] finished -> %s", output_path)
