@@ -1,0 +1,318 @@
+"""Faster R-CNN R101-C4 assembly: preprocess -> backbone -> RPN ->
+RoIPool+res5 -> box head -> adaptive NMS forcing exactly NUM_OBJECTS boxes.
+
+Parity target: the reference's detectron2-driven extraction
+(data_prepare.py:183-277, 2_generate_tsv_ali.py:82-175):
+  * RPN.POST_NMS_TOPK_TEST = 300, ROI score_thresh 0.2, NMS 0.6 base
+    (data_prepare.py:264-266)
+  * adaptive loop raises nms_thresh 0.5 -> 0.9 by 0.1 until exactly
+    NUM_OBJECTS=36 boxes survive (data_prepare.py:226-232)
+  * per-box feature = mean-pooled res5 output (2048-d), cls_prob =
+    softmax over 1601 (1600 VG classes + bg)
+  * boxes rescaled back to the raw image size (detector_postprocess)
+
+All shapes static: proposals padded to POST_NMS_TOPK, NMS emits fixed
+36-slot results. Weights load from the bottom-up-attention caffe pkl via
+`load_caffe_pkl` (BN folded into FrozenBN scale/bias); random init works for
+shape/semantics tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from k3m_tpu.vision import boxes as box_lib
+from k3m_tpu.vision.resnet import Res5Head, ResNet101C4Backbone
+from k3m_tpu.vision.roi import roi_align, roi_pool
+
+logger = logging.getLogger(__name__)
+
+NUM_OBJECTS = 36          # reference 2_generate_tsv_ali.py:27
+NUM_CLASSES = 1600        # VG
+PIXEL_MEAN_BGR = (103.530, 116.280, 123.675)  # detectron2 caffe default
+ANCHOR_SIZES = (32, 64, 128, 256, 512)
+ANCHOR_RATIOS = (0.5, 1.0, 2.0)
+STRIDE = 16
+PRE_NMS_TOPK = 6000
+POST_NMS_TOPK = 300       # data_prepare.py:264
+RPN_NMS_THRESH = 0.7
+SCORE_THRESH = 0.2        # data_prepare.py:266
+MIN_SIZE_TEST = 600
+MAX_SIZE_TEST = 1000
+
+
+class RPNHead(nn.Module):
+    num_anchors: int
+
+    @nn.compact
+    def __call__(self, feat):
+        t = jax.nn.relu(nn.Conv(feat.shape[-1], (3, 3), padding=1,
+                                name="conv")(feat))
+        logits = nn.Conv(self.num_anchors, (1, 1), name="objectness")(t)
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), name="anchor_deltas")(t)
+        return logits, deltas
+
+
+class BoxPredictor(nn.Module):
+    """cls_score (C+1) + class-specific bbox deltas (C*4) on 2048-d
+    mean-pooled res5 features."""
+    num_classes: int = NUM_CLASSES
+
+    @nn.compact
+    def __call__(self, x):
+        scores = nn.Dense(self.num_classes + 1, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        return scores, deltas
+
+
+class FasterRCNN(nn.Module):
+    num_classes: int = NUM_CLASSES
+    pooler: str = "roi_pool"   # caffe C4 uses RoIPool; "roi_align" available
+
+    def setup(self):
+        self.backbone = ResNet101C4Backbone(name="backbone")
+        self.rpn_head = RPNHead(len(ANCHOR_SIZES) * len(ANCHOR_RATIOS),
+                                name="rpn")
+        self.res5 = Res5Head(name="roi_head")
+        self.box_predictor = BoxPredictor(self.num_classes, name="box_predictor")
+
+    def __call__(self, image_bgr: jnp.ndarray, image_hw):
+        """image_bgr [H, W, 3] mean-subtracted; image_hw = (h, w) of the
+        (resized) input. Returns dict with proposals, per-proposal features,
+        class probs and class-specific boxes (all fixed POST_NMS_TOPK rows).
+        """
+        feat = self.backbone(image_bgr[None])[0]           # [h/16, w/16, 1024]
+        fh, fw = feat.shape[0], feat.shape[1]
+        logits, deltas = self.rpn_head(feat[None])
+        logits = logits[0].reshape(-1)                     # [h*w*A]
+        deltas = deltas[0].reshape(fh * fw, -1, 4).reshape(-1, 4)
+        anchors = jnp.asarray(
+            box_lib.generate_anchors(fh, fw, STRIDE, ANCHOR_SIZES,
+                                     ANCHOR_RATIOS))
+        proposals = box_lib.apply_deltas(deltas, anchors)
+        proposals = box_lib.clip_boxes(proposals, image_hw[0], image_hw[1])
+
+        k = min(PRE_NMS_TOPK, logits.shape[0])
+        top_scores, top_idx = jax.lax.top_k(logits, k)
+        top_boxes = proposals[top_idx]
+        # degenerate-box suppression
+        wh_ok = ((top_boxes[:, 2] - top_boxes[:, 0]) > 0) & \
+                ((top_boxes[:, 3] - top_boxes[:, 1]) > 0)
+        top_scores = jnp.where(wh_ok, top_scores, -jnp.inf)
+        nms_idx, nms_valid = box_lib.nms_fixed(
+            top_boxes, top_scores, RPN_NMS_THRESH, POST_NMS_TOPK)
+        prop_boxes = top_boxes[nms_idx]                    # [300, 4]
+        prop_valid = nms_valid
+
+        pool = roi_pool if self.pooler == "roi_pool" else functools.partial(
+            roi_align, sampling_ratio=2)
+        pooled = pool(feat, prop_boxes, 1.0 / STRIDE, output_size=14)
+        box_feat = self.res5(pooled)                       # [300, 7, 7, 2048]
+        feat_pooled = box_feat.mean(axis=(1, 2))           # [300, 2048]
+        scores, box_deltas = self.box_predictor(feat_pooled)
+        probs = jax.nn.softmax(scores, axis=-1)            # [300, C+1]
+        # class-specific boxes
+        per_class = box_lib.apply_deltas(
+            box_deltas.reshape(-1, self.num_classes, 4),
+            jnp.broadcast_to(prop_boxes[:, None, :],
+                             (prop_boxes.shape[0], self.num_classes, 4)),
+            weights=(10.0, 10.0, 5.0, 5.0))
+        per_class = box_lib.clip_boxes(per_class, image_hw[0], image_hw[1])
+        return dict(proposal_boxes=prop_boxes, proposal_valid=prop_valid,
+                    features=feat_pooled, probs=probs, boxes=per_class)
+
+
+# --------------------------------------------------------- inference pipeline
+
+
+def resize_shortest_edge(image: np.ndarray, min_size=MIN_SIZE_TEST,
+                         max_size=MAX_SIZE_TEST) -> np.ndarray:
+    h, w = image.shape[:2]
+    scale = min_size / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+    out = jax.image.resize(jnp.asarray(image, jnp.float32), (nh, nw, 3),
+                           method="bilinear")
+    return np.asarray(out)
+
+
+@jax.jit
+def _select_instances(outputs, valid):
+    """fast_rcnn_inference_single_image with the adaptive NMS sweep
+    (data_prepare.py:226-232), static shapes."""
+    probs = outputs["probs"][:, :-1]                       # drop background
+    boxes = outputs["boxes"]                               # [300, C, 4]
+    N, C = probs.shape
+    flat_scores = jnp.where(valid[:, None], probs, 0.0).reshape(-1)
+    keep_score = flat_scores > SCORE_THRESH
+    flat_scores = jnp.where(keep_score, flat_scores, -jnp.inf)
+    flat_boxes = boxes.reshape(-1, 4)
+    class_ids = jnp.broadcast_to(jnp.arange(C)[None, :], (N, C)).reshape(-1)
+    row_ids = jnp.broadcast_to(jnp.arange(N)[:, None], (N, C)).reshape(-1)
+
+    results = []
+    for nms_t in (0.5, 0.6, 0.7, 0.8, 0.9):
+        idx, ok = box_lib.batched_nms_fixed(
+            flat_boxes, flat_scores, class_ids, nms_t, NUM_OBJECTS)
+        ok = ok & (flat_scores[idx] > SCORE_THRESH)
+        results.append((idx, ok, ok.sum()))
+    counts = jnp.stack([r[2] for r in results])
+    exact = counts == NUM_OBJECTS
+    pick = jnp.where(exact.any(), jnp.argmax(exact), len(results) - 1)
+    idx = jnp.stack([r[0] for r in results])[pick]
+    ok = jnp.stack([r[1] for r in results])[pick]
+    sel_boxes = flat_boxes[idx]
+    sel_scores = flat_scores[idx]
+    sel_rows = row_ids[idx]
+    return dict(boxes=sel_boxes, scores=sel_scores, rows=sel_rows, valid=ok)
+
+
+def extract_rois(model: FasterRCNN, params, raw_image_bgr: np.ndarray
+                 ) -> Optional[Dict]:
+    """Full extraction matching get_detections_from_image
+    (data_prepare.py:183-258). raw_image_bgr: uint8 [H, W, 3] BGR."""
+    raw_h, raw_w = raw_image_bgr.shape[:2]
+    image = resize_shortest_edge(raw_image_bgr.astype(np.float32))
+    ih, iw = image.shape[:2]
+    image = image - np.asarray(PIXEL_MEAN_BGR, np.float32)
+    outputs = model.apply(params, jnp.asarray(image),
+                          (float(ih), float(iw)))
+    sel = _select_instances(outputs, outputs["proposal_valid"])
+    sel = jax.device_get(sel)
+    n = int(sel["valid"].sum())
+    if n == 0:
+        return None
+    order = np.argsort(~sel["valid"])          # valid first, stable
+    rows = sel["rows"][order][:n]
+    boxes = sel["boxes"][order][:n]
+    feats = np.asarray(jax.device_get(outputs["features"]))[rows]
+    probs = np.asarray(jax.device_get(outputs["probs"]))[rows]
+    # rescale boxes to the raw image size (detector_postprocess)
+    scale_x, scale_y = raw_w / iw, raw_h / ih
+    boxes = boxes * np.array([scale_x, scale_y, scale_x, scale_y], np.float32)
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, raw_w)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, raw_h)
+    if np.isnan(feats).any():
+        return None                            # ref data_prepare.py:244-245
+    return dict(image_h=raw_h, image_w=raw_w, num_boxes=n, boxes=boxes,
+                features=feats, cls_prob=probs)
+
+
+# ----------------------------------------------------------- weight loading
+
+
+def load_caffe_pkl(path: str) -> Dict[str, np.ndarray]:
+    """Load a detectron2 caffe pkl ({'model': {name: ndarray}})."""
+    import pickle
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    model = data.get("model", data)
+    return {k: np.asarray(v) for k, v in model.items()
+            if isinstance(v, np.ndarray) or hasattr(v, "shape")}
+
+
+def _fold_bn(sd, prefix):
+    """Fold detectron2 FrozenBN (weight,bias,running_mean,running_var) into
+    (scale, bias)."""
+    g = sd[f"{prefix}.norm.weight"]
+    b = sd[f"{prefix}.norm.bias"]
+    mean = sd.get(f"{prefix}.norm.running_mean", np.zeros_like(g))
+    var = sd.get(f"{prefix}.norm.running_var", np.ones_like(g))
+    scale = g / np.sqrt(var + 1e-5)
+    return scale, b - mean * scale
+
+
+def convert_caffe_weights(sd: Dict[str, np.ndarray], params) -> Dict:
+    """Map detectron2 R101-C4 names onto our param tree. Conv weights are
+    [out,in,kh,kw] -> flax [kh,kw,in,out]."""
+    import jax
+
+    tree = jax.tree.map(np.asarray, params)
+    p = tree["params"]
+
+    def conv(dst, name):
+        w = sd[f"{name}.weight"]
+        dst["kernel"] = w.transpose(2, 3, 1, 0)
+
+    def bn(dst, name):
+        scale, bias = _fold_bn(sd, name)
+        dst["scale"], dst["bias"] = scale, bias
+
+    def dense(dst, name):
+        dst["kernel"] = sd[f"{name}.weight"].T
+        dst["bias"] = sd[f"{name}.bias"]
+
+    bk = p["backbone"]
+    conv(bk["stem_conv1"], "backbone.stem.conv1")
+    bn(bk["stem_bn1"], "backbone.stem.conv1")
+    stages = {"res2": 3, "res3": 4, "res4": 23}
+    for stage, nblocks in stages.items():
+        for i in range(nblocks):
+            blk = bk[stage][f"block{i}"]
+            base = f"backbone.{stage}.{i}"
+            for cname in ("conv1", "conv2", "conv3"):
+                conv(blk[cname], f"{base}.{cname}")
+                bn(blk[f"{cname}_bn"], f"{base}.{cname}")
+            if i == 0:
+                conv(blk["shortcut"], f"{base}.shortcut")
+                bn(blk["shortcut_bn"], f"{base}.shortcut")
+    r5 = p["roi_head"]["res5"]
+    for i in range(3):
+        blk = r5[f"block{i}"]
+        base = f"roi_heads.res5.{i}"
+        for cname in ("conv1", "conv2", "conv3"):
+            conv(blk[cname], f"{base}.{cname}")
+            bn(blk[f"{cname}_bn"], f"{base}.{cname}")
+        if i == 0:
+            conv(blk["shortcut"], f"{base}.shortcut")
+            bn(blk["shortcut_bn"], f"{base}.shortcut")
+    rpn = p["rpn"]
+    conv(rpn["conv"], "proposal_generator.rpn_head.conv")
+    rpn["conv"]["bias"] = sd["proposal_generator.rpn_head.conv.bias"]
+    conv(rpn["objectness"], "proposal_generator.rpn_head.objectness_logits")
+    rpn["objectness"]["bias"] = sd[
+        "proposal_generator.rpn_head.objectness_logits.bias"]
+    conv(rpn["anchor_deltas"], "proposal_generator.rpn_head.anchor_deltas")
+    rpn["anchor_deltas"]["bias"] = sd[
+        "proposal_generator.rpn_head.anchor_deltas.bias"]
+    dense(p["box_predictor"]["cls_score"], "roi_heads.box_predictor.cls_score")
+    dense(p["box_predictor"]["bbox_pred"], "roi_heads.box_predictor.bbox_pred")
+    return tree
+
+
+def make_extractor(image_dir: Optional[str], weights_path: Optional[str] = None):
+    """Returns item -> detection dict (or None), for data preparation."""
+    import cv2
+
+    model = FasterRCNN()
+    dummy = jnp.zeros((64, 64, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), dummy, (64.0, 64.0))
+    if weights_path and os.path.exists(weights_path):
+        params = convert_caffe_weights(load_caffe_pkl(weights_path), params)
+        logger.info("loaded caffe weights from %s", weights_path)
+    else:
+        logger.warning("no caffe pkl provided — extractor runs with random "
+                       "weights (features are not meaningful)")
+
+    def extractor(item):
+        name = item.get("item_image_name") or item.get("image_url", "").split("/")[-1]
+        path = os.path.join(image_dir or "", name)
+        image = cv2.imread(path)
+        if image is None:
+            return None
+        try:
+            return extract_rois(model, params, image)
+        except Exception as e:   # per-image error tolerance (ref :360-366)
+            logger.error("extraction failed for %s: %s", path, e)
+            return None
+
+    return extractor
