@@ -36,8 +36,14 @@ def _stack(samples, key):
 class _LoaderBase:
     def __init__(self, record_path: str, tokenizer: WordPieceTokenizer,
                  shapes: ShapeSpec, batch_size: int, shuffle: bool,
-                 seed: int, drop_last: bool = True, prefetch: int = 4):
-        self.reader = RecordReader(record_path)
+                 seed: int, drop_last: bool = True, prefetch: int = 4,
+                 use_native: bool = True):
+        self.reader = None
+        if use_native:
+            from k3m_tpu.runtime import get_native_reader
+            self.reader = get_native_reader(record_path)
+        if self.reader is None:
+            self.reader = RecordReader(record_path)
         self.tokenizer = tokenizer
         self.shapes = shapes
         self.batch_size = batch_size
