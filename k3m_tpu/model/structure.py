@@ -90,11 +90,25 @@ class StructureAggregator(nn.Module):
         b = jnp.where(valid, b, -1e30)
         atten = jax.nn.softmax(b, axis=1)[..., None]                # [B, P, 1]
         agg = (atten.astype(t.dtype) * t).sum(axis=1)               # [B, H]
-        c_final_main = c_initial + w3(agg)
 
-        # zero-pv fallback: t := c_initial[i] single row, atten = 1 (ref :2452-2456)
-        c_final_fb = c_initial + w3(c_initial)
-        c_final = jnp.where((n_valid > 0)[:, None], c_final_main, c_final_fb)
+        # Zero-pv-pair items: the reference's per-item loop does NOT reset
+        # `t` between items (ref :2437-2456), so an item with no pairs
+        # silently reuses the attention-aggregated triples of the most recent
+        # PRECEDING item that had pairs; the try/except fallback
+        # (t = c_initial[i], ref :2452-2456) only ever fires at the FIRST
+        # zero-pair run starting at item 0 — and that stale `t` then
+        # persists. We replicate the stale-state semantics exactly via a
+        # cumulative-max source index; `fix_reference_bugs` switches to the
+        # clean per-item fallback c_final = c + W3(c).
+        if cfg.fix_reference_bugs:
+            agg_sel = jnp.where((n_valid > 0)[:, None], agg, c_initial)
+        else:
+            idx = jnp.arange(B)
+            marked = jnp.where(n_valid > 0, idx, -1)
+            src = jax.lax.associative_scan(jnp.maximum, marked)      # [B]
+            agg_with_exc = jnp.concatenate([c_initial[0:1], agg], axis=0)
+            agg_sel = agg_with_exc[src + 1]
+        c_final = c_initial + w3(agg_sel)
 
         if not self.with_lpm:
             return c_final, None

@@ -18,7 +18,7 @@ def numpy_reference(c_initial, seq_pv, index_p, index_v, W1, b1, W2, b2, W3,
     H = c_initial.shape[1]
     p_vecs, v_vecs = [], []
     c_final = np.zeros_like(c_initial)
-    ts = []
+    t = None  # NOT reset between items — the reference's stale-state quirk
     for i in range(B):
         p_vecs.append([])
         v_vecs.append([])
@@ -33,13 +33,12 @@ def numpy_reference(c_initial, seq_pv, index_p, index_v, W1, b1, W2, b2, W3,
             rows.append(np.concatenate([c_initial[i], p, v]) @ W1 + b1)
         if rows:
             t = np.stack(rows)
-        else:
-            t = c_initial[i][None]  # fallback (ref :2452-2456), no W1
+        elif t is None:
+            t = c_initial[i][None]  # except-branch (ref :2452-2456), no W1
         lrelu = np.where(t > 0, t, 0.01 * t)
         b = lrelu @ W2 + b2
         atten = np.exp(b - b.max()) / np.exp(b - b.max()).sum()
         c_final[i] = c_initial[i] + ((atten * t).sum(0) @ W3 + b3)
-        ts.append(t)
 
     pos_norms, neg_norms = [], []
     for i in range(B):
@@ -118,18 +117,52 @@ def test_cfinal_matches_reference_loops(setup):
     np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4, atol=1e-4)
 
 
-def test_zero_pv_fallback(setup):
+def test_zero_pv_stale_state_quirk(setup):
+    """Item 3 (no pairs) must reuse item 2's aggregated triples — the
+    reference's un-reset `t` (ref :2437-2456)."""
     cfg, mod, params, c_initial, seq_pv, index_p, index_v = setup
-    # item 3 has no pairs -> c_final = c + W3(c) (ref :2452-2456)
     c_final, _ = mod.apply(
         params, jnp.array(c_initial), jnp.array(seq_pv), jnp.array(index_p),
         jnp.array(index_v), deterministic=True)
+    # c_final[3] - c_initial[3] must equal c_final[2] - c_initial[2]
+    # (same W3(agg_2) term)
+    np.testing.assert_allclose(
+        np.array(c_final[3] - jnp.array(c_initial[3])),
+        np.array(c_final[2] - jnp.array(c_initial[2])), rtol=2e-5, atol=2e-5)
+
+
+def test_zero_pv_clean_fallback_with_fix():
+    """With fix_reference_bugs, a zero-pair item falls back to
+    c_final = c + W3(c) independent of batch order."""
+    from k3m_tpu.config import K3MConfig
+    cfg = K3MConfig(vocab_size=50, hidden_size=16, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=16,
+                    v_hidden_size=8, v_num_hidden_layers=1,
+                    v_num_attention_heads=2, v_intermediate_size=8,
+                    bi_hidden_size=8, bi_num_attention_heads=2,
+                    v_biattention_id=(0,), t_biattention_id=(1,),
+                    num_negative_pv=4, margin=1.0, fix_reference_bugs=True)
+    rng = np.random.default_rng(0)
+    B, L, P, H = 3, 10, 2, 16
+    c_initial = rng.normal(size=(B, H)).astype(np.float32)
+    seq_pv = rng.normal(size=(B, L, H)).astype(np.float32)
+    index_p = np.zeros((B, P, 2), np.int32)
+    index_v = np.zeros((B, P, 2), np.int32)
+    index_p[0, 0] = [1, 2]; index_v[0, 0] = [3, 4]
+    mod = StructureAggregator(cfg, with_lpm=False)
+    params = mod.init({"params": jax.random.PRNGKey(0)},
+                      jnp.array(c_initial), jnp.array(seq_pv),
+                      jnp.array(index_p), jnp.array(index_v))
+    c_final, _ = mod.apply(params, jnp.array(c_initial), jnp.array(seq_pv),
+                           jnp.array(index_p), jnp.array(index_v),
+                           deterministic=True)
     p = params["params"]
-    expected = c_initial[3] + (
-        c_initial[3] @ np.array(p["struc_w3"]["kernel"])
-        + np.array(p["struc_w3"]["bias"]))
-    np.testing.assert_allclose(np.array(c_final[3]), expected, rtol=2e-5,
-                               atol=2e-5)
+    for i in (1, 2):
+        expected = c_initial[i] + (
+            c_initial[i] @ np.array(p["struc_w3"]["kernel"])
+            + np.array(p["struc_w3"]["bias"]))
+        np.testing.assert_allclose(np.array(c_final[i]), expected, rtol=2e-5,
+                                   atol=2e-5)
 
 
 def test_lpm_random_sampling_runs(setup):
