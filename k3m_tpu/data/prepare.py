@@ -56,6 +56,28 @@ def parse_raw_tsv(path: str, segment_jieba: bool = False) -> Iterator[Dict]:
                        pv=pv_str, category=category)
 
 
+def parse_item_info_jsonl(path: str, segment_jieba: bool = True
+                          ) -> Iterator[Dict]:
+    """New-pipeline jsonl input (reference data_prepare.py:310-345):
+    {item_id, item_image_name, title, item_pvs, cate_name}; '#' stripped,
+    trailing ';' appended, optional jieba segmentation."""
+    if segment_jieba:
+        import jieba
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            jd = json.loads(line.strip())
+            pv = jd.get("item_pvs", "").replace("#", "")
+            if not pv.endswith(";"):
+                pv += ";"
+            title = jd.get("title", "")
+            if segment_jieba:
+                pv = " ".join(jieba.cut(pv))
+                title = " ".join(jieba.cut(title))
+            yield dict(item_id=str(jd["item_id"]), title=title, pv=pv,
+                       category=jd.get("cate_name", ""),
+                       item_image_name=jd.get("item_image_name", ""))
+
+
 def build_feature_records(
         raw: Iterator[Dict],
         extractor: Optional[Callable[[str], Optional[Dict]]] = None,
@@ -102,6 +124,7 @@ def build_pair_records(pairs_jsonl: str, feature_record_path: str
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", help="raw TSV file")
+    ap.add_argument("--item_info", help="item_info jsonl (new pipeline)")
     ap.add_argument("--pairs", help="item-alignment pairs jsonl")
     ap.add_argument("--features", help="feature record file to join pairs against")
     ap.add_argument("--output", required=True)
@@ -123,7 +146,11 @@ def main(argv=None):
                 w.write(rec)
                 n += 1
         else:
-            raw = parse_raw_tsv(args.input, segment_jieba=args.jieba)
+            if args.item_info:
+                raw = parse_item_info_jsonl(args.item_info,
+                                            segment_jieba=args.jieba)
+            else:
+                raw = parse_raw_tsv(args.input, segment_jieba=args.jieba)
             for rec in build_feature_records(raw, extractor, args.image_dir):
                 w.write(rec)
                 n += 1

@@ -177,9 +177,14 @@ class PretrainTrainer:
 
     def fit(self, train_loader: Iterable, val_loader: Optional[Iterable] = None,
             num_epochs: int = 1, start_epoch: int = 0, log_steps: int = 20,
-            checkpoint_dir: Optional[str] = None):
+            checkpoint_dir: Optional[str] = None,
+            save_checkpoints: bool = True):
         ckpt = (CheckpointManager(checkpoint_dir, self.config)
-                if checkpoint_dir else None)
+                if checkpoint_dir and save_checkpoints else None)
+        mlog = None
+        if checkpoint_dir:
+            from k3m_tpu.utils.metrics import MetricsLogger
+            mlog = MetricsLogger(checkpoint_dir)
         history = []
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
@@ -198,6 +203,9 @@ class PretrainTrainer:
                         float(m["masked_img_loss"]),
                         float(m["masked_lm_loss_pv"]), float(m["loss_struc"]),
                         float(m["next_sentence_loss_t_v_pv"]))
+                    if mlog is not None:
+                        mlog.log(int(jax.device_get(self.state.step)),
+                                 {k: float(v) for k, v in m.items()})
                     pending = pending[-1:]
             dt = time.time() - t0
             epoch_summary = dict(epoch=epoch, seconds=dt,

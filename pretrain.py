@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""K3M pretraining CLI — flag surface of the reference's modernized driver
+(`pretrain.py`, CCKS-2022 generation; flags :783-870, behaviour :143-781).
+
+Differences from the reference by design: mp.spawn+gloo DDP is replaced by a
+single GSPMD program over a jax mesh (use --n_model for tensor parallelism),
+torch.cuda.amp by bf16 (--fp16 maps to bf16 on TPU). `--file_name` is a
+template with a `{}` placeholder for the split (e.g. `{}_feat.k3mr`),
+matching run_pretrain.sh usage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+logging.basicConfig(
+    format="%(asctime)s %(levelname)-4s [%(filename)s:%(lineno)s]  %(message)s",
+    datefmt="%Y/%m/%d %H:%M:%S", level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", required=True, type=str)
+    p.add_argument("--output_dir", required=True, type=str)
+    p.add_argument("--file_name", required=True, type=str,
+                   help="template, e.g. '{}_feat.k3mr'")
+    p.add_argument("--model_name", default="hfl/chinese-roberta-wwm-ext", type=str)
+    p.add_argument("--pretrained_model_path", default=None, type=str)
+    p.add_argument("--config_file", default="k3m_roberta_base.json", type=str)
+    p.add_argument("--pretrained_model_weights", default=None, type=str)
+    p.add_argument("--file_checkpoint", default="", type=str)
+    p.add_argument("--file_state_dict", default="", type=str)
+    p.add_argument("--log_steps", default=10, type=int)
+    p.add_argument("--cache", default=5000, type=int)
+    p.add_argument("--use_image", action="store_true")
+    p.add_argument("--do_eval", action="store_true")
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--no_cuda", action="store_true")
+    p.add_argument("--train_batch_size", default=96, type=int)
+    p.add_argument("--eval_batch_size", default=96, type=int)
+    p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--num_train_epochs", default=5.0, type=float)
+    p.add_argument("--start_epoch", default=0, type=float)
+    p.add_argument("--num_workers", default=2, type=int)
+    p.add_argument("--if_pre_sampling", default=1, type=int)
+    p.add_argument("--with_coattention", action="store_true")
+    p.add_argument("--objective", default=2, type=int)
+    p.add_argument("--freeze", default=-1, type=int)
+    p.add_argument("--on_memory", action="store_true")
+    p.add_argument("--warmup_proportion", default=0.1, type=float)
+    p.add_argument("--gradient_accumulation_steps", default=1, type=int)
+    p.add_argument("--adam_epsilon", default=1e-8, type=float)
+    p.add_argument("--loss_img_weight", default=1.0, type=float)
+    p.add_argument("--fp16", action="store_true", help="maps to bf16 on TPU")
+    p.add_argument("--apex_fast", action="store_true")
+    p.add_argument("--loss_scale", default=0, type=float)
+    p.add_argument("--do_lower_case", default=True, type=bool)
+    p.add_argument("--max_seq_length", default=50, type=int)
+    p.add_argument("--max_seq_length_pv", default=256, type=int)
+    p.add_argument("--max_num_pv", default=30, type=int)
+    p.add_argument("--num_negative_pv", default=4, type=int)
+    p.add_argument("--margin", default=1.0, type=float)
+    p.add_argument("--max_region_length", default=36, type=int)
+    p.add_argument("--dynamic_attention", action="store_true")
+    p.add_argument("--visual_target", default=0, type=int)
+    p.add_argument("--num_negative_image", default=255, type=int)
+    # TPU-native extensions
+    p.add_argument("--n_model", default=1, type=int)
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--vocab_file", default=None, type=str)
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    from k3m_tpu.config import K3MConfig
+    from k3m_tpu.data.pipeline import PretrainLoader
+    from k3m_tpu.data.preprocess import ShapeSpec
+    from k3m_tpu.tokenization import get_tokenizer
+    from k3m_tpu.train.pretrain_loop import PretrainTrainer
+
+    candidates = [os.path.join(args.output_dir, args.config_file),
+                  os.path.join(args.data_dir, args.config_file),
+                  os.path.join(os.path.dirname(__file__), "k3m_tpu", "configs",
+                               args.config_file), args.config_file]
+    config = next(K3MConfig.from_json_file(c) for c in candidates
+                  if os.path.exists(c))
+    # flag overrides (ref pretrain.py:1351-1372)
+    overrides = dict(
+        if_pre_sampling=args.if_pre_sampling, objective=args.objective,
+        dynamic_attention=args.dynamic_attention,
+        visual_target=args.visual_target,
+        num_negative_image=args.num_negative_image,
+        num_negative_pv=args.num_negative_pv, margin=args.margin,
+        use_image=args.use_image,
+        dtype="bfloat16" if args.fp16 else "float32",
+        use_pallas=args.use_pallas,
+        model="roberta" if "roberta" in (args.model_name or "") else "bert")
+    if args.visual_target != 0:
+        overrides["v_target_size"] = config.v_feature_size
+    if args.freeze > -1:
+        overrides["fixed_t_layer"] = args.freeze
+    config = config.replace(**overrides)
+
+    tokenizer = get_tokenizer(args.vocab_file, config.vocab_size)
+    shapes = ShapeSpec(max_seq_len=args.max_seq_length,
+                       max_seq_len_pv=args.max_seq_length_pv,
+                       max_num_pv=args.max_num_pv,
+                       max_region_len=args.max_region_length,
+                       v_feature_size=config.v_feature_size,
+                       v_target_size=config.v_target_size)
+
+    def path(split):
+        name = (args.file_name.format(split) if "{}" in args.file_name
+                else args.file_name)
+        return os.path.join(args.data_dir, name)
+
+    train_loader = PretrainLoader(path("train"), tokenizer, shapes,
+                                  batch_size=args.train_batch_size,
+                                  shuffle=True, seed=args.seed,
+                                  visual_target=args.visual_target)
+    val_loader = None
+    if args.do_eval and os.path.exists(path("valid")):
+        val_loader = PretrainLoader(path("valid"), tokenizer, shapes,
+                                    batch_size=args.eval_batch_size,
+                                    shuffle=False, seed=args.seed,
+                                    visual_target=args.visual_target)
+
+    steps_per_epoch = max(len(train_loader) // args.gradient_accumulation_steps, 1)
+    total_steps = int(steps_per_epoch * args.num_train_epochs)
+    sample_batch = next(iter(train_loader))
+
+    pretrained_paths = None
+    if args.pretrained_model_path:
+        from k3m_tpu.train.convert import load_pretrained_bert_paths
+        pretrained_paths = load_pretrained_bert_paths(args.pretrained_model_path)
+
+    trainer = PretrainTrainer(
+        config, learning_rate=args.learning_rate,
+        warmup_steps=int(args.warmup_proportion * total_steps),
+        total_steps=total_steps,
+        grad_accum_steps=args.gradient_accumulation_steps,
+        loss_img_weight=args.loss_img_weight, objective=args.objective,
+        seed=args.seed, n_model=args.n_model, sample_batch=sample_batch,
+        pretrained_paths=pretrained_paths)
+
+    if args.pretrained_model_path:
+        from k3m_tpu.train.convert import load_pretrained_into_params
+        trainer.state = trainer.state.replace(params=load_pretrained_into_params(
+            trainer.state.params, args.pretrained_model_path))
+    if args.file_state_dict:
+        from k3m_tpu.train.state import load_params_msgpack
+        trainer.state = trainer.state.replace(params=load_params_msgpack(
+            trainer.state.params, args.file_state_dict))
+
+    history = trainer.fit(train_loader, val_loader,
+                          num_epochs=int(args.num_train_epochs),
+                          start_epoch=int(args.start_epoch),
+                          log_steps=args.log_steps,
+                          checkpoint_dir=args.output_dir)
+    logger.info("training history: %s", history)
+
+
+if __name__ == "__main__":
+    main()
