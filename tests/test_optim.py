@@ -1,0 +1,87 @@
+"""Optimizer construction tests: schedule shape, decay masking, lr scaling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from k3m_tpu.train.optim import (
+    is_no_decay, make_optimizer, warmup_linear_schedule,
+)
+
+
+def test_warmup_linear_schedule_shape():
+    s = warmup_linear_schedule(1e-3, warmup_steps=10, total_steps=100)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(5)), 5e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(s(55)), 1e-3 * 45 / 90, rtol=1e-6)
+    assert float(s(100)) == 0.0
+    assert float(s(200)) == 0.0  # clamped, never negative
+
+
+def test_no_decay_paths():
+    assert is_no_decay(("trunk", "encoder", "layer_0", "attention", "query",
+                        "bias"))
+    assert is_no_decay(("trunk", "embeddings", "LayerNorm", "scale"))
+    assert not is_no_decay(("trunk", "encoder", "layer_0", "attention",
+                            "query", "kernel"))
+
+
+def _tiny_params():
+    return {"params": {
+        "dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+        "LayerNorm": {"scale": jnp.ones((4,)), "bias": jnp.zeros((4,))},
+    }}
+
+
+def test_weight_decay_only_on_kernels():
+    params = _tiny_params()
+    tx = make_optimizer(params, learning_rate=1.0, warmup_steps=1,
+                        total_steps=10, weight_decay=0.5)
+    state = tx.init(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    updates, state = tx.update(zeros, state, params)
+    # at step 0 lr=0 -> all updates zero regardless of decay
+    assert all(float(jnp.abs(u).max()) == 0 for u in jax.tree.leaves(updates))
+    # step 1: lr>0; kernel gets decay shrink, LayerNorm/bias don't
+    updates, state = tx.update(zeros, state, params)
+    u = updates["params"]
+    assert float(jnp.abs(u["dense"]["kernel"]).max()) > 0
+    assert float(jnp.abs(u["dense"]["bias"]).max()) == 0
+    assert float(jnp.abs(u["LayerNorm"]["scale"]).max()) == 0
+
+
+def test_pretrained_lr_scale():
+    params = _tiny_params()
+    pretrained = {"params/dense/kernel", "params/dense/bias"}
+    tx_scaled = make_optimizer(params, learning_rate=1.0, warmup_steps=1,
+                               total_steps=10, weight_decay=0.0,
+                               pretrained_paths=pretrained)
+    tx_plain = make_optimizer(params, learning_rate=1.0, warmup_steps=1,
+                              total_steps=10, weight_decay=0.0)
+    grads = jax.tree.map(jnp.ones_like, params)
+    s1, s2 = tx_scaled.init(params), tx_plain.init(params)
+    u1, s1 = tx_scaled.update(grads, s1, params)
+    u1, s1 = tx_scaled.update(grads, s1, params)  # step 1 has lr > 0
+    u2, s2 = tx_plain.update(grads, s2, params)
+    u2, s2 = tx_plain.update(grads, s2, params)
+    ratio = (float(u1["params"]["dense"]["kernel"][0, 0])
+             / float(u2["params"]["dense"]["kernel"][0, 0]))
+    np.testing.assert_allclose(ratio, 0.1, rtol=1e-5)
+    ratio_ln = (float(u1["params"]["LayerNorm"]["scale"][0])
+                / float(u2["params"]["LayerNorm"]["scale"][0]))
+    np.testing.assert_allclose(ratio_ln, 1.0, rtol=1e-5)
+
+
+def test_grad_accumulation():
+    params = _tiny_params()
+    tx = make_optimizer(params, learning_rate=1.0, warmup_steps=1,
+                        total_steps=10, weight_decay=0.0, grad_accum_steps=2)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    u1, state = tx.update(grads, state, params)
+    # first micro-step: no update applied yet
+    assert all(float(jnp.abs(u).max()) == 0 for u in jax.tree.leaves(u1))
+    u2, state = tx.update(grads, state, params)
+    assert any(float(jnp.abs(u).max()) >= 0 for u in jax.tree.leaves(u2))
