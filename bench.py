@@ -75,6 +75,8 @@ def load_baseline() -> float | None:
 
 
 def main():
+    from k3m_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     value = bench_jax()
     baseline = load_baseline()
     out = {

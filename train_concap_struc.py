@@ -136,6 +136,8 @@ def find_records(args, split: str) -> str:
 
 
 def main(argv=None):
+    from k3m_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     args = get_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
