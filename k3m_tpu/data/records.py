@@ -119,7 +119,14 @@ class RecordReader:
             yield self[i]
 
     def close(self) -> None:
-        self._mm.close()
+        # the index (and any decoded arrays) are zero-copy views into the
+        # mmap; closing with live exports raises BufferError — release our
+        # own view and leave the mapping to the GC in that case
+        self._offsets = None
+        try:
+            self._mm.close()
+        except BufferError:
+            pass
         self._file.close()
 
 

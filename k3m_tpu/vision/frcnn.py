@@ -159,6 +159,17 @@ def _select_instances(outputs, valid):
     class_ids = jnp.broadcast_to(jnp.arange(C)[None, :], (N, C)).reshape(-1)
     row_ids = jnp.broadcast_to(jnp.arange(N)[:, None], (N, C)).reshape(-1)
 
+    # NMS over all N*C class-box pairs would build an (N*C)^2 IoU matrix
+    # (480k^2 at VG scale); detectron2 first drops rows below SCORE_THRESH
+    # (dynamic shape). Static-shape equivalent: top-K candidates by score —
+    # K >> NUM_OBJECTS, so the kept set is identical.
+    K = min(2048, flat_scores.shape[0])
+    _, cand = jax.lax.top_k(flat_scores, K)
+    flat_scores = flat_scores[cand]
+    flat_boxes = flat_boxes[cand]
+    class_ids = class_ids[cand]
+    row_ids = row_ids[cand]
+
     results = []
     for nms_t in (0.5, 0.6, 0.7, 0.8, 0.9):
         idx, ok = box_lib.batched_nms_fixed(
