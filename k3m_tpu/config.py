@@ -72,6 +72,10 @@ class K3MConfig:
     dtype: str = "float32"        # compute dtype: "float32" | "bfloat16"
     use_pallas: bool = False      # fused Pallas attention kernels on TPU
     fix_reference_bugs: bool = False  # fix known reference bugs (cosine-probs, LPM sign)
+    remat: bool = True            # per-layer rematerialization (activation
+                                  # recompute in backward; HBM >> FLOPs here)
+    ce_chunk: int = 64            # sequence chunk for the masked-CE loss so
+                                  # [B, L, vocab] logits never materialize
 
     def __post_init__(self):
         if len(self.v_biattention_id) != len(self.t_biattention_id):

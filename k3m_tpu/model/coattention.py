@@ -89,7 +89,7 @@ class ConnectionLayer(nn.Module):
     config: K3MConfig
 
     @nn.compact
-    def __call__(self, x1, bias1, x2, bias2, *, deterministic: bool):
+    def __call__(self, x1, bias1, x2, bias2, deterministic: bool = True):
         cfg = self.config
         dtype = compute_dtype(cfg)
         init = dense_init(cfg.initializer_range)
@@ -147,7 +147,7 @@ class ConnectionLayerTwoText(nn.Module):
     config: K3MConfig
 
     @nn.compact
-    def __call__(self, x1, bias1, x2, bias2, *, deterministic: bool):
+    def __call__(self, x1, bias1, x2, bias2, deterministic: bool = True):
         cfg = self.config
         dtype = compute_dtype(cfg)
         init = dense_init(cfg.initializer_range)

@@ -39,18 +39,29 @@ class TriStreamEncoder(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.layer = [TextLayer(cfg, name=f"layer_{i}")
+        # per-layer remat: store only layer boundaries for backward,
+        # recompute internals (attention probs, FFN intermediates) — the
+        # tri-pass graph is HBM-bound, not FLOP-bound, on TPU
+        if cfg.remat:
+            Text = nn.remat(TextLayer, static_argnums=(3,))
+            Image = nn.remat(ImageLayer, static_argnums=(5,))
+            Conn = nn.remat(ConnectionLayer, static_argnums=(5,))
+            ConnTT = nn.remat(ConnectionLayerTwoText, static_argnums=(5,))
+        else:
+            Text, Image = TextLayer, ImageLayer
+            Conn, ConnTT = ConnectionLayer, ConnectionLayerTwoText
+        self.layer = [Text(cfg, name=f"layer_{i}")
                       for i in range(cfg.num_hidden_layers)]
         if cfg.use_image:
-            self.v_layer = [ImageLayer(cfg, name=f"v_layer_{i}")
+            self.v_layer = [Image(cfg, name=f"v_layer_{i}")
                             for i in range(cfg.v_num_hidden_layers)]
             if cfg.with_coattention:
-                self.c_layer = [ConnectionLayer(cfg, name=f"c_layer_{i}")
+                self.c_layer = [Conn(cfg, name=f"c_layer_{i}")
                                 for i in range(cfg.num_coattention_layers)]
-                self.c_layer_pv_v = [ConnectionLayer(cfg, name=f"c_layer_pv_v_{i}")
+                self.c_layer_pv_v = [Conn(cfg, name=f"c_layer_pv_v_{i}")
                                      for i in range(cfg.num_coattention_layers)]
         if cfg.with_coattention:
-            self.c_layer_pv_t = [ConnectionLayerTwoText(cfg, name=f"c_layer_pv_t_{i}")
+            self.c_layer_pv_t = [ConnTT(cfg, name=f"c_layer_pv_t_{i}")
                                  for i in range(cfg.num_coattention_layers)]
 
     # ------------------------------------------------------------ helpers
@@ -58,7 +69,7 @@ class TriStreamEncoder(nn.Module):
     def _run_text(self, x, bias, start: int, end: int, deterministic: bool):
         cfg = self.config
         for idx in range(start, end):
-            x = self.layer[idx](x, bias, deterministic=deterministic)
+            x = self.layer[idx](x, bias, deterministic)
             if idx < cfg.fixed_t_layer:
                 x = jax.lax.stop_gradient(x)  # torch no_grad, ref :1188-1195
         return x
@@ -67,8 +78,7 @@ class TriStreamEncoder(nn.Module):
                    deterministic: bool):
         cfg = self.config
         for idx in range(start, end):
-            x = self.v_layer[idx](x, bias, txt, txt_mask2,
-                                  deterministic=deterministic)
+            x = self.v_layer[idx](x, bias, txt, txt_mask2, deterministic)
             if idx < cfg.fixed_v_layer:
                 x = jax.lax.stop_gradient(x)
         return x
@@ -100,7 +110,7 @@ class TriStreamEncoder(nn.Module):
                     txt_bias, (img.shape[0],) + txt_bias.shape[1:])
             if cfg.with_coattention:
                 img, txt = c_layers[count](img, img_bias, txt, txt_bias,
-                                           deterministic=deterministic)
+                                           deterministic)
             v_start, t_start = v_end, t_end
         img = self._run_image(img, img_bias, txt, txt_mask2,
                               v_start, cfg.v_num_hidden_layers, deterministic)
@@ -130,7 +140,7 @@ class TriStreamEncoder(nn.Module):
                     txt_bias, (pv.shape[0],) + txt_bias.shape[1:])
             if cfg.with_coattention:
                 pv, txt = self.c_layer_pv_t[count](pv, pv_bias, txt, txt_bias,
-                                                   deterministic=deterministic)
+                                                   deterministic)
             v_start = t_start = t_end
         pv = self._run_text(pv, pv_bias, v_start, cfg.num_hidden_layers,
                             deterministic)

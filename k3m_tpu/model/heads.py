@@ -35,14 +35,51 @@ class Pooler(nn.Module):
         return jax.nn.relu(x)
 
 
+def chunked_masked_ce(x, table, bias, labels, chunk: int,
+                      ignore_index: int = -1) -> jnp.ndarray:
+    """Mean CE(ignore -1) over vocab logits `x @ table.T + bias`, computed in
+    sequence chunks under a rematerialized scan so the full [B, L, vocab]
+    logits tensor never exists in HBM (at B=96 L=256 V=21128 that tensor is
+    1.9 GiB fp32 — the single largest allocation of the naive train step).
+    Identical math to cross_entropy_ignore(full_logits, labels)."""
+    B, L, D = x.shape
+    pad = (-L) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                         constant_values=ignore_index)
+    n = (L + pad) // chunk
+    xc = x.reshape(B, n, chunk, D).transpose(1, 0, 2, 3)        # [n, B, C, D]
+    lc = labels.reshape(B, n, chunk).transpose(1, 0, 2)
+
+    def body(carry, xl):
+        xi, li = xl
+        logits = jnp.einsum("bcd,vd->bcv", xi, table,
+                            preferred_element_type=jnp.float32)
+        logits = logits.astype(jnp.float32) + bias
+        valid = li != ignore_index
+        safe = jnp.where(valid, li, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return (carry[0] + jnp.where(valid, nll, 0.0).sum(),
+                carry[1] + valid.sum()), None
+
+    init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+    (total, count), _ = jax.lax.scan(jax.checkpoint(body), init, (xc, lc))
+    return total / jnp.maximum(count, 1)
+
+
 class LMPredictionHead(nn.Module):
     """MLM head: transform (dense+act+LN) then decode with the TIED word
     embedding plus an output-only bias (ref :1821-1839). The embedding table
-    is passed in explicitly to realize the tie."""
+    is passed in explicitly to realize the tie.
+
+    With `labels`, returns the mean masked-CE loss via chunked_masked_ce
+    instead of materializing the [B, L, vocab] logits."""
     config: K3MConfig
 
     @nn.compact
-    def __call__(self, hidden_states, word_embedding_table):
+    def __call__(self, hidden_states, word_embedding_table, labels=None):
         cfg = self.config
         dtype = compute_dtype(cfg)
         init = dense_init(cfg.initializer_range)
@@ -52,8 +89,10 @@ class LMPredictionHead(nn.Module):
         x = LayerNorm(dtype=dtype, name="transform_LayerNorm")(x)
         bias = self.param("decoder_bias", nn.initializers.zeros,
                           (cfg.vocab_size,), jnp.float32)
-        logits = jnp.einsum("bld,vd->blv", x,
-                            word_embedding_table.astype(dtype),
+        table = word_embedding_table.astype(dtype)
+        if labels is not None:
+            return chunked_masked_ce(x, table, bias, labels, cfg.ce_chunk)
+        logits = jnp.einsum("bld,vd->blv", x, table,
                             preferred_element_type=jnp.float32)
         return logits + bias
 
@@ -84,7 +123,11 @@ class PreTrainingHeads(nn.Module):
     @nn.compact
     def __call__(self, sequence_output_t, sequence_output_v, pooled_output_t,
                  pooled_output_v, sequence_output_pv, pooled_output_pv,
-                 word_embedding_table, *, deterministic: bool):
+                 word_embedding_table, *, deterministic: bool,
+                 lm_labels_t=None, lm_labels_pv=None):
+        """With lm_labels_t/lm_labels_pv, the first/third outputs are the
+        masked-CE LOSSES (scalars) instead of vocab logits — the memory-lean
+        path used by the pretraining model."""
         cfg = self.config
         lm_head = LMPredictionHead(cfg, name="predictions")
 
@@ -97,8 +140,10 @@ class PreTrainingHeads(nn.Module):
             2, kernel_init=dense_init(cfg.initializer_range),
             dtype=compute_dtype(cfg), name="seq_relationship")(pooled)
 
-        scores_t = lm_head(sequence_output_t, word_embedding_table)
-        scores_pv = lm_head(sequence_output_pv, word_embedding_table)
+        scores_t = lm_head(sequence_output_t, word_embedding_table,
+                           lm_labels_t)
+        scores_pv = lm_head(sequence_output_pv, word_embedding_table,
+                            lm_labels_pv)
         scores_v = None
         if cfg.use_image and sequence_output_v is not None:
             scores_v = ImagePredictionHead(cfg, name="imagePredictions")(

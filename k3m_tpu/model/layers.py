@@ -194,11 +194,14 @@ class SelfAttention(nn.Module):
 
 
 class TextLayer(nn.Module):
-    """BertLayer: self-attn + output + FFN, post-LN (ref :535-548)."""
+    """BertLayer: self-attn + output + FFN, post-LN (ref :535-548).
+
+    `deterministic` is positional-friendly so the encoder can wrap the layer
+    in nn.remat with static_argnums."""
     config: K3MConfig
 
     @nn.compact
-    def __call__(self, x, bias, *, deterministic: bool):
+    def __call__(self, x, bias, deterministic: bool = True):
         cfg = self.config
         dtype = compute_dtype(cfg)
         init = dense_init(cfg.initializer_range)
@@ -229,7 +232,8 @@ class ImageLayer(nn.Module):
     config: K3MConfig
 
     @nn.compact
-    def __call__(self, x, bias, txt_embedding, txt_mask2, *, deterministic: bool):
+    def __call__(self, x, bias, txt_embedding, txt_mask2,
+                 deterministic: bool = True):
         cfg = self.config
         dtype = compute_dtype(cfg)
         init = dense_init(cfg.initializer_range)

@@ -205,15 +205,15 @@ class K3MForPretraining(nn.Module):
             neg_entity_idx=neg_entity_idx, neg_value_idx=neg_value_idx)
 
         word_table = out["word_embedding_table"]
-        scores_t, scores_v, scores_pv, seq_rel = PreTrainingHeads(
-            cfg, name="cls")(
-            out["seq_t"], out["seq_v"], out["pooled_t"], out["pooled_v"],
-            out["seq_pv"], out["pooled_pv"], word_table,
-            deterministic=deterministic)
-
-        masked_lm_loss = cross_entropy_ignore(scores_t, batch["lm_label_ids"])
-        masked_lm_loss_pv = cross_entropy_ignore(scores_pv,
-                                                 batch["lm_label_ids_pv"])
+        # chunked-CE path: the heads compute the two MLM losses directly so
+        # the [B, L, vocab] logits never materialize (see chunked_masked_ce)
+        masked_lm_loss, scores_v, masked_lm_loss_pv, seq_rel = \
+            PreTrainingHeads(cfg, name="cls")(
+                out["seq_t"], out["seq_v"], out["pooled_t"], out["pooled_v"],
+                out["seq_pv"], out["pooled_pv"], word_table,
+                deterministic=deterministic,
+                lm_labels_t=batch["lm_label_ids"],
+                lm_labels_pv=batch["lm_label_ids_pv"])
         if cfg.use_image:
             img_rng = None
             if cfg.visual_target == 2 and not deterministic:

@@ -147,3 +147,28 @@ def test_roberta_position_offset():
     batch = make_pretrain_batch(cfg)
     _, _, out = _init_and_apply(cfg, batch)
     assert np.isfinite(float(out["masked_lm_loss"]))
+
+
+def test_chunked_masked_ce_matches_full(tiny_config):
+    import jax
+    import jax.numpy as jnp
+
+    from k3m_tpu.model.heads import chunked_masked_ce
+    from k3m_tpu.model.pretrain import cross_entropy_ignore
+
+    rng = np.random.default_rng(3)
+    B, L, D, V = 4, 37, 16, 53   # L deliberately not a multiple of the chunk
+    x = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    table = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    labels = jnp.asarray(rng.choice([-1, 1, 5, 20], size=(B, L)), jnp.int32)
+
+    full = cross_entropy_ignore(
+        jnp.einsum("bld,vd->blv", x, table) + bias, labels)
+    for chunk in (8, 37, 64):
+        got = chunked_masked_ce(x, table, bias, labels, chunk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   rtol=1e-6, atol=1e-6)
+    # gradients flow through the rematerialized scan
+    g = jax.grad(lambda xx: chunked_masked_ce(xx, table, bias, labels, 8))(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
