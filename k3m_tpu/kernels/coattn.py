@@ -86,21 +86,12 @@ def padded_fused_biattention(q1, k1, v1, bias1, q2, k2, v2, bias2, seed=0, *,
     return ctx1[:, :, :L2, :], ctx2[:, :, :L1, :]
 
 
-@functools.partial(jax.jit, static_argnames=("dropout1", "dropout2",
-                                             "interpret"))
-def fused_biattention(q1, k1, v1, bias1, q2, k2, v2, bias2, seed=0, *,
-                      dropout1: float = 0.0, dropout2: float = 0.0,
-                      interpret: bool = False):
-    """Inputs per stream: [B,H,L?,D]; bias? broadcastable to [B,1,1,L?].
-    Returns (ctx1 [B,H,L2,D], ctx2 [B,H,L1,D])."""
+def _fused_biattention_call(q1, k1, v1, b1, q2, k2, v2, b2, seed_arr,
+                            dropout1: float, dropout2: float,
+                            interpret: bool):
     B, H, L1, D = q1.shape
     L2 = q2.shape[2]
-    sm_scale = 1.0 / math.sqrt(D)
-    b1 = jnp.broadcast_to(bias1, (B, 1, 1, L1)).reshape(B, 1, L1)
-    b2 = jnp.broadcast_to(bias2, (B, 1, 1, L2)).reshape(B, 1, L2)
-    seed_arr = jnp.asarray([seed], jnp.int32)
-
-    kernel = functools.partial(_biattn_kernel, sm_scale=sm_scale,
+    kernel = functools.partial(_biattn_kernel, sm_scale=1.0 / math.sqrt(D),
                                dropout1=dropout1, dropout2=dropout2)
     spec = lambda L: pl.BlockSpec((1, 1, L, D), lambda b, h, *_: (b, h, 0, 0),
                                   memory_space=pltpu.VMEM)
@@ -123,3 +114,54 @@ def fused_biattention(q1, k1, v1, bias1, q2, k2, v2, bias2, seed=0, *,
             transcendentals=2 * B * H * L1 * L2),
         interpret=interpret,
     )(seed_arr, q1, k1, v1, b1, q2, k2, v2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _fused_biattention(q1, k1, v1, b1, q2, k2, v2, b2, seed_arr,
+                       dropout1, dropout2, interpret):
+    return _fused_biattention_call(q1, k1, v1, b1, q2, k2, v2, b2, seed_arr,
+                                   dropout1, dropout2, interpret)
+
+
+def _fused_biattention_fwd(q1, k1, v1, b1, q2, k2, v2, b2, seed_arr,
+                           dropout1, dropout2, interpret):
+    out = _fused_biattention_call(q1, k1, v1, b1, q2, k2, v2, b2, seed_arr,
+                                  dropout1, dropout2, interpret)
+    return out, (q1, k1, v1, b1, q2, k2, v2, b2, seed_arr)
+
+
+def _fused_biattention_bwd(dropout1, dropout2, interpret, res, cts):
+    """Each direction is one standard attention; reuse the recompute-probs
+    attention backward kernel with the forward's per-direction PRNG salt."""
+    from k3m_tpu.kernels.attention import _fused_attention_bwd_call
+
+    dctx1, dctx2 = cts
+    q1, k1, v1, b1, q2, k2, v2, b2, seed_arr = res
+    dq2, dk1, dv1 = _fused_attention_bwd_call(
+        q2, k1, v1, b1, seed_arr, dctx1, dropout1, interpret)
+    dq1, dk2, dv2 = _fused_attention_bwd_call(
+        q1, k2, v2, b2, seed_arr + 7919, dctx2, dropout2, interpret)
+    import numpy as _np
+    dseed = _np.zeros(seed_arr.shape, jax.dtypes.float0)
+    return (dq1, dk1, dv1, jnp.zeros_like(b1),
+            dq2, dk2, dv2, jnp.zeros_like(b2), dseed)
+
+
+_fused_biattention.defvjp(_fused_biattention_fwd, _fused_biattention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("dropout1", "dropout2",
+                                             "interpret"))
+def fused_biattention(q1, k1, v1, bias1, q2, k2, v2, bias2, seed=0, *,
+                      dropout1: float = 0.0, dropout2: float = 0.0,
+                      interpret: bool = False):
+    """Inputs per stream: [B,H,L?,D]; bias? broadcastable to [B,1,1,L?].
+    Returns (ctx1 [B,H,L2,D], ctx2 [B,H,L1,D]). Differentiable via a
+    custom VJP (recompute-probs backward, one kernel per direction)."""
+    B, H, L1, D = q1.shape
+    L2 = q2.shape[2]
+    b1 = jnp.broadcast_to(bias1, (B, 1, 1, L1)).reshape(B, 1, L1)
+    b2 = jnp.broadcast_to(bias2, (B, 1, 1, L2)).reshape(B, 1, L2)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    return _fused_biattention(q1, k1, v1, b1, q2, k2, v2, b2, seed_arr,
+                              dropout1, dropout2, interpret)

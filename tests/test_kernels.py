@@ -70,3 +70,82 @@ def test_model_with_pallas_matches_without():
                                np.array(out1["c_final"]), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(float(out0["masked_lm_loss"]),
                                float(out1["masked_lm_loss"]), rtol=1e-4)
+
+
+def test_fused_attention_grads_match_reference():
+    q, k, v, bias = _mk(seed=11)
+
+    def loss_fused(q, k, v):
+        return (fused_attention(q, k, v, bias, interpret=True)
+                * jnp.arange(q.shape[-1])).sum()
+
+    def loss_ref(q, k, v):
+        return (reference_attention(q, k, v, bias)
+                * jnp.arange(q.shape[-1])).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_fused_biattention_grads_match_reference():
+    rng = np.random.default_rng(12)
+    B, H, L1, L2, D = 2, 2, 8, 16, 8
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    q1, k1, v1 = mk(B, H, L1, D), mk(B, H, L1, D), mk(B, H, L1, D)
+    q2, k2, v2 = mk(B, H, L2, D), mk(B, H, L2, D), mk(B, H, L2, D)
+    b1 = jnp.zeros((B, 1, 1, L1), jnp.float32)
+    b2 = jnp.zeros((B, 1, 1, L2), jnp.float32)
+
+    def loss_fused(args):
+        q1, k1, v1, q2, k2, v2 = args
+        c1, c2 = padded_fused_biattention(q1, k1, v1, b1, q2, k2, v2, b2,
+                                          interpret=True)
+        return (c1 * 1.3).sum() + (c2 * 0.7).sum()
+
+    def loss_ref(args):
+        q1, k1, v1, q2, k2, v2 = args
+        c1 = reference_attention(q2, k1, v1, b1)
+        c2 = reference_attention(q1, k2, v2, b2)
+        return (c1 * 1.3).sum() + (c2 * 0.7).sum()
+
+    args = (q1, k1, v1, q2, k2, v2)
+    gf = jax.grad(loss_fused)(args)
+    gr = jax.grad(loss_ref)(args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_model_train_grads_with_pallas():
+    """use_pallas must be trainable: grads flow through the custom VJP and
+    match the unfused model's grads (deterministic mode)."""
+    from k3m_tpu.model.pretrain import K3MForPretraining
+    from tests.conftest import TINY, make_pretrain_batch
+
+    batch = {k: jnp.asarray(v) for k, v in make_pretrain_batch(TINY).items()
+             if not isinstance(v, list)}
+    rngs = {"params": jax.random.key(0), "gumbel": jax.random.key(1),
+            "lpm": jax.random.key(2)}
+
+    def grads(cfg):
+        model = K3MForPretraining(cfg)
+        params = model.init(rngs, batch, deterministic=True)
+
+        def loss(p):
+            out = model.apply(p, batch, deterministic=True,
+                              rngs={"gumbel": jax.random.key(4),
+                                    "lpm": jax.random.key(5)})
+            return (out["masked_lm_loss"] + out["masked_lm_loss_pv"]
+                    + out["masked_img_loss"] + out["loss_struc"])
+        return jax.grad(loss)(params)
+
+    g_plain = grads(TINY.replace(use_pallas=False))
+    g_pallas = grads(TINY.replace(use_pallas=True))
+    leaves_a, leaves_b = jax.tree.leaves(g_plain), jax.tree.leaves(g_pallas)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
