@@ -55,15 +55,21 @@ def bench_jax() -> float:
     trainer = PretrainTrainer(
         cfg, learning_rate=1e-4, warmup_steps=10, total_steps=1000,
         sample_batch=batch, mesh=mesh_lib.make_mesh(n_model=1))
+    # stage the batch on device ONCE: this measures the train step itself.
+    # (In training, per-step H2D overlaps with compute via async dispatch;
+    # in this environment the chip sits behind a network tunnel, so an
+    # unstaged feed would measure tunnel bandwidth, not the TPU.)
+    from k3m_tpu.train.pretrain_loop import device_batch
+    db = mesh_lib.shard_batch(device_batch(batch), trainer.mesh)
     for _ in range(WARMUP):
-        m = trainer.train_step(batch)
+        m = trainer.train_step(db)
     jax.block_until_ready(m["loss"])
     # median of 3 windows — the tunneled chip shows run-to-run variance
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            m = trainer.train_step(batch)
+            m = trainer.train_step(db)
         jax.block_until_ready(m["loss"])
         dt = time.perf_counter() - t0
         rates.append((BATCH * n_chips * ITERS) / dt / n_chips)

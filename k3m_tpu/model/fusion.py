@@ -36,8 +36,10 @@ def gumbel_softmax_hard(logits: jnp.ndarray, rng, axis: int) -> jnp.ndarray:
         jax.random.uniform(rng, logits.shape, minval=1e-20, maxval=1.0) + 1e-20))
     y_soft = jax.nn.softmax((logits.astype(jnp.float32) + g), axis=axis)
     index = jnp.argmax(y_soft, axis=axis, keepdims=True)
-    y_hard = jnp.zeros_like(y_soft)
-    y_hard = jnp.put_along_axis(y_hard, index, 1.0, axis=axis, inplace=False)
+    # one-hot by iota comparison — put_along_axis lowers to a sort-based
+    # scatter on TPU (tens of ms per step at batch 96)
+    iota = jax.lax.broadcasted_iota(jnp.int32, y_soft.shape, axis)
+    y_hard = (iota == index).astype(y_soft.dtype)
     return y_hard + y_soft - jax.lax.stop_gradient(y_soft)
 
 
@@ -88,8 +90,8 @@ class ModalityFusion(nn.Module):
         if deterministic:
             # eval: deterministic argmax selection (one-hot, no gumbel noise)
             index = jnp.argmax(ak, axis=2, keepdims=True)
-            a_index = jnp.put_along_axis(jnp.zeros_like(ak), index, 1.0,
-                                         axis=2, inplace=False)
+            iota = jax.lax.broadcasted_iota(jnp.int32, ak.shape, 2)
+            a_index = (iota == index).astype(ak.dtype)
         else:
             a_index = gumbel_softmax_hard(ak, self.make_rng("gumbel"), axis=2)
         out = ind * a_index[:, :, 0, :]

@@ -59,8 +59,15 @@ def chunked_masked_ce(x, table, bias, labels, chunk: int,
         logits = logits.astype(jnp.float32) + bias
         valid = li != ignore_index
         safe = jnp.where(valid, li, 0)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        # nll = logsumexp - logit[label]; the label logit comes from a small
+        # row-gather of the embedding table, NOT take_along_axis over the
+        # [B, C, vocab] tensor — whose backward is a layout-hostile scatter
+        # that dominated the train step (92 ms at B=96)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        w_lab = jnp.take(table, safe, axis=0).astype(jnp.float32)  # [B, C, D]
+        label_logit = ((xi.astype(jnp.float32) * w_lab).sum(-1)
+                       + jnp.take(bias, safe, axis=0))
+        nll = lse - label_logit
         return (carry[0] + jnp.where(valid, nll, 0.0).sum(),
                 carry[1] + valid.sum()), None
 

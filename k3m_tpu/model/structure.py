@@ -40,20 +40,38 @@ from k3m_tpu.model.layers import compute_dtype, dense_init
 
 
 def gather_pair_mean(seq: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """seq [B, L, H], idx [B, P, 2] -> [B, P, H]: mean of the two positions."""
-    B = seq.shape[0]
-    b_idx = jnp.arange(B)[:, None, None]
-    gathered = seq[b_idx, idx]                 # [B, P, 2, H]
-    return gathered.mean(axis=2)
+    """seq [B, L, H], idx [B, P, 2] -> [B, P, H]: mean of the two positions.
+
+    Implemented as a one-hot matmul (MXU) rather than a fancy gather: the
+    gather's backward is a scatter-add into [B, L, H], which XLA lowers to a
+    sort-based kernel on TPU (the pv-stream one cost ~46 ms/step at B=96);
+    the matmul's backward is just the transposed matmul."""
+    L = seq.shape[1]
+    # [B, P, L] with 0.5 at each of the two span-boundary positions
+    # (1.0 if begin == end, preserving the gather-then-mean semantics)
+    weights = ((idx[:, :, 0, None] == jnp.arange(L)).astype(seq.dtype) * 0.5
+               + (idx[:, :, 1, None] == jnp.arange(L)).astype(seq.dtype) * 0.5)
+    return jnp.einsum("bpl,blh->bph", weights, seq,
+                      preferred_element_type=jnp.float32).astype(seq.dtype)
 
 
 def _sample_without_replacement(rng, noise_shape, valid_mask, k_take):
-    """Per-row ordering of candidates by uniform noise; invalid candidates are
-    pushed to the back. Returns (indices [..., k_take], slot_valid mask)."""
+    """Draw k_take per-row candidates without replacement (uniform over the
+    valid set). Returns (indices [..., k_take], slot_valid mask).
+
+    k_take is tiny (num_negative_pv is single-digit), so this runs k_take
+    argmin reductions instead of a full argsort — on TPU a [B,P,B] sort was
+    the single most expensive non-matmul op of the train step (~46 ms at
+    batch 96)."""
     noise = jax.random.uniform(rng, noise_shape)
-    noise = jnp.where(valid_mask, noise, 2.0)      # invalid -> sorted last
-    order = jnp.argsort(noise, axis=-1)
-    take = order[..., :k_take]
+    noise = jnp.where(valid_mask, noise, 2.0)      # invalid -> never first
+    takes = []
+    for _ in range(k_take):
+        idx = jnp.argmin(noise, axis=-1)           # [...]
+        takes.append(idx)
+        noise = jnp.where(
+            jnp.arange(noise.shape[-1]) == idx[..., None], 3.0, noise)
+    take = jnp.stack(takes, axis=-1)               # [..., k_take]
     n_valid = valid_mask.sum(axis=-1, keepdims=True)
     slot_ok = jnp.arange(k_take) < jnp.minimum(n_valid, k_take)
     return take, slot_ok
