@@ -53,6 +53,34 @@ def get_parser():
     p.add_argument("--dynamic_attention", action="store_true")
     p.add_argument("--visual_target", default=0, type=int)
     p.add_argument("--fp16", action="store_true")
+    # remaining reference flags (finetune.py:1223-1290)
+    p.add_argument("--file_name", default=None, type=str,
+                   help="record-name pattern, e.g. '{}_item_alignment.k3mr'"
+                        " — overrides --file_train/valid/test (ref :223,240)")
+    p.add_argument("--adam_epsilon", default=1e-8, type=float)
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--cache", default=5000, type=int,
+                   help="loader prefetch depth (ref per-rank cache :131)")
+    p.add_argument("--num_workers", default=2, type=int,
+                   help="accepted for CLI parity; the K3MR loader uses"
+                        " threaded prefetch over mmap instead of workers")
+    p.add_argument("--do_lower_case", default=True, type=bool)
+    p.add_argument("--use_image", action="store_true", default=True)
+    p.add_argument("--with_coattention", action="store_true", default=True)
+    p.add_argument("--num_negative_image", default=128, type=int)
+    p.add_argument("--loss_img_weight", default=1.0, type=float)
+    p.add_argument("--loss_scale", default=0, type=float,
+                   help="accepted for parity; bf16 on TPU needs no scaling")
+    p.add_argument("--no_cuda", action="store_true",
+                   help="accepted for parity; device selection is jax's")
+    p.add_argument("--freeze", default=-1, type=int,
+                   help="accepted for parity (dead in the reference too,"
+                        " finetune.py:141-148)")
+    p.add_argument("--file_checkpoint", default="", type=str,
+                   help="full-train-state checkpoint to resume from")
+    p.add_argument("--pretrained_model_weights", default=None, type=str,
+                   help="accepted for parity (dead in the reference,"
+                        " finetune.py:140)")
     # TPU-native extensions
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--n_model", default=1, type=int)
@@ -81,8 +109,15 @@ def main(argv=None):
         if_pre_sampling=args.if_pre_sampling, loss_type=args.loss_type,
         dynamic_attention=args.dynamic_attention,
         visual_target=args.visual_target,
+        use_image=args.use_image, with_coattention=args.with_coattention,
+        num_negative_image=args.num_negative_image,
         dtype="bfloat16" if args.bf16 else "float32",
         model="roberta" if "roberta" in (args.model_name or "") else "bert")
+
+    if args.file_name:  # split pattern (ref finetune.py:223,240)
+        args.file_train = args.file_name.format("train")
+        args.file_valid = args.file_name.format("valid")
+        args.file_test = args.file_name.format("test")
 
     tokenizer = get_tokenizer(args.vocab_file, config.vocab_size)
     shapes = ShapeSpec(max_seq_len=args.max_seq_length,
@@ -98,7 +133,8 @@ def main(argv=None):
             return None
         return AlignmentLoader(path, tokenizer, shapes, batch_size=batch_size,
                                shuffle=shuffle, seed=args.seed,
-                               visual_target=args.visual_target)
+                               visual_target=args.visual_target,
+                               prefetch=min(16, max(2, args.cache // max(batch_size, 1))))
 
     train_loader = loader(args.file_train, args.train_batch_size, True)
     val_loader = loader(args.file_valid, args.eval_batch_size, False)
@@ -116,7 +152,18 @@ def main(argv=None):
         warmup_steps=int(args.warmup_proportion * total_steps),
         total_steps=total_steps,
         grad_accum_steps=args.gradient_accumulation_steps,
+        adam_eps=args.adam_epsilon,
         seed=args.seed, n_model=args.n_model, sample_batch=sample_batch)
+
+    if args.file_checkpoint and os.path.exists(args.file_checkpoint):
+        from k3m_tpu.train.state import CheckpointManager
+        ckpt = CheckpointManager(args.file_checkpoint, config)
+        restored = ckpt.restore(trainer.state)
+        if restored is not None:
+            trainer.state, epoch = restored
+            args.start_epoch = max(args.start_epoch, epoch + 1)
+            logger.info("resumed from %s at epoch %d", args.file_checkpoint,
+                        epoch)
 
     if args.pretrained_model_path:
         from k3m_tpu.train.convert import load_pretrained_into_params
@@ -131,6 +178,7 @@ def main(argv=None):
         history = trainer.fit(train_loader,
                               val_loader if args.do_eval else None,
                               num_epochs=int(args.num_train_epochs),
+                              start_epoch=int(args.start_epoch),
                               log_steps=args.log_steps,
                               checkpoint_dir=args.output_dir)
         logger.info("history: %s", history)

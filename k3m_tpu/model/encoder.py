@@ -43,22 +43,26 @@ class TriStreamEncoder(nn.Module):
         # recompute internals (attention probs, FFN intermediates) — the
         # tri-pass graph is HBM-bound, not FLOP-bound, on TPU
         if cfg.remat:
+            # Selective: remat only where stored activations are big — the
+            # text stack (it also carries the 256-token pv stream) and the
+            # two pv-side co-attention sets. The image stream (37 tokens)
+            # and t<->v co-attention (50/37) are cheap to store
+            # (~0.9 GB total) and skip the forward recompute.
             Text = nn.remat(TextLayer, static_argnums=(3,))
-            Image = nn.remat(ImageLayer, static_argnums=(5,))
-            Conn = nn.remat(ConnectionLayer, static_argnums=(5,))
+            ConnPV = nn.remat(ConnectionLayer, static_argnums=(5,))
             ConnTT = nn.remat(ConnectionLayerTwoText, static_argnums=(5,))
         else:
-            Text, Image = TextLayer, ImageLayer
-            Conn, ConnTT = ConnectionLayer, ConnectionLayerTwoText
+            Text = TextLayer
+            ConnPV, ConnTT = ConnectionLayer, ConnectionLayerTwoText
         self.layer = [Text(cfg, name=f"layer_{i}")
                       for i in range(cfg.num_hidden_layers)]
         if cfg.use_image:
-            self.v_layer = [Image(cfg, name=f"v_layer_{i}")
+            self.v_layer = [ImageLayer(cfg, name=f"v_layer_{i}")
                             for i in range(cfg.v_num_hidden_layers)]
             if cfg.with_coattention:
-                self.c_layer = [Conn(cfg, name=f"c_layer_{i}")
+                self.c_layer = [ConnectionLayer(cfg, name=f"c_layer_{i}")
                                 for i in range(cfg.num_coattention_layers)]
-                self.c_layer_pv_v = [Conn(cfg, name=f"c_layer_pv_v_{i}")
+                self.c_layer_pv_v = [ConnPV(cfg, name=f"c_layer_pv_v_{i}")
                                      for i in range(cfg.num_coattention_layers)]
         if cfg.with_coattention:
             self.c_layer_pv_t = [ConnTT(cfg, name=f"c_layer_pv_t_{i}")

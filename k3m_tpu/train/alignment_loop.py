@@ -48,6 +48,7 @@ class AlignmentTrainer:
                  warmup_steps: int = 0,
                  total_steps: int = 1000,
                  grad_accum_steps: int = 1,
+                 adam_eps: float = 1e-8,
                  seed: int = 42,
                  n_model: int = 1,
                  mesh: Optional[Any] = None,
@@ -72,7 +73,8 @@ class AlignmentTrainer:
             out_shardings=p_shardings)()
         self.tx = make_optimizer(params, learning_rate, warmup_steps,
                                  total_steps,
-                                 grad_accum_steps=grad_accum_steps)
+                                 grad_accum_steps=grad_accum_steps,
+                                 adam_eps=adam_eps)
         opt_state = jax.jit(self.tx.init)(params)
         self.state = TrainState(step=0, params=params, opt_state=opt_state)
         self._train_step = self._build_train_step()
@@ -112,11 +114,12 @@ class AlignmentTrainer:
     # ------------------------------------------------------------ phases
 
     def fit(self, train_loader: Iterable, val_loader=None, num_epochs: int = 1,
-            log_steps: int = 20, checkpoint_dir: Optional[str] = None):
+            start_epoch: int = 0, log_steps: int = 20,
+            checkpoint_dir: Optional[str] = None):
         ckpt = (CheckpointManager(checkpoint_dir, self.config)
                 if checkpoint_dir else None)
         history = []
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             n = 0
             for step, batch in enumerate(train_loader):

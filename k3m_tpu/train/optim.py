@@ -58,6 +58,7 @@ def make_optimizer(params: Any,
                    grad_accum_steps: int = 1,
                    pretrained_paths: Optional[Set[str]] = None,
                    max_grad_norm: float = 0.0,
+                   adam_eps: float = 1e-6,
                    ) -> optax.GradientTransformation:
     """Build the full optax chain.
 
@@ -82,7 +83,7 @@ def make_optimizer(params: Any,
     if max_grad_norm and max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.extend([
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=adam_eps),
         optax.add_decayed_weights(weight_decay, mask=decay_mask),
         optax.scale_by_learning_rate(schedule),
         # per-parameter lr multiplier (0.1x for pretrained weights)
