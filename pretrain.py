@@ -55,6 +55,8 @@ def get_parser():
     p.add_argument("--adam_epsilon", default=1e-8, type=float)
     p.add_argument("--loss_img_weight", default=1.0, type=float)
     p.add_argument("--fp16", action="store_true", help="maps to bf16 on TPU")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute (same effect as --fp16 here)")
     p.add_argument("--apex_fast", action="store_true")
     p.add_argument("--loss_scale", default=0, type=float)
     p.add_argument("--do_lower_case", default=True, type=bool)
@@ -100,7 +102,7 @@ def main(argv=None):
         num_negative_image=args.num_negative_image,
         num_negative_pv=args.num_negative_pv, margin=args.margin,
         use_image=args.use_image,
-        dtype="bfloat16" if args.fp16 else "float32",
+        dtype="bfloat16" if (args.fp16 or args.bf16) else "float32",
         use_pallas=args.use_pallas,
         model="roberta" if "roberta" in (args.model_name or "") else "bert")
     if args.visual_target != 0:
