@@ -123,6 +123,11 @@ def measure_torch_reference_cpu() -> "float | None":
     # takes ~18 min; per-sample rate is ~batch-independent when
     # compute-bound). Hard-capped with SIGALRM so bench never stalls.
     import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError("torch baseline exceeded its time cap")
+
+    signal.signal(signal.SIGALRM, _timeout)
     signal.alarm(1800)
     base_batch = 4
     from k3m_tpu.config import K3MConfig
@@ -150,13 +155,18 @@ def measure_torch_reference_cpu() -> "float | None":
         loss.backward()
         opt.step()
 
-    step()                       # warmup
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        step()
-    dt = time.perf_counter() - t0
-    signal.alarm(0)
+    try:
+        step()                   # warmup
+        iters = 3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            step()
+        dt = time.perf_counter() - t0
+    except TimeoutError as e:
+        print(f"# torch baseline skipped: {e}", file=sys.stderr)
+        return None
+    finally:
+        signal.alarm(0)
     return base_batch * iters / dt
 
 

@@ -65,8 +65,10 @@ def get_parser():
                    help="accepted for CLI parity; the K3MR loader uses"
                         " threaded prefetch over mmap instead of workers")
     p.add_argument("--do_lower_case", default=True, type=bool)
-    p.add_argument("--use_image", action="store_true", default=True)
-    p.add_argument("--with_coattention", action="store_true", default=True)
+    p.add_argument("--use_image", action="store_true",
+                   help="enable the image stream (ref finetune.py:1247)")
+    p.add_argument("--with_coattention", action="store_true",
+                   help="enable co-attention (ref finetune.py:1257)")
     p.add_argument("--num_negative_image", default=128, type=int)
     p.add_argument("--loss_img_weight", default=1.0, type=float)
     p.add_argument("--loss_scale", default=0, type=float,
@@ -127,18 +129,23 @@ def main(argv=None):
                        v_feature_size=config.v_feature_size,
                        v_target_size=config.v_target_size)
 
-    def loader(name, batch_size, shuffle):
+    def loader(name, batch_size, shuffle, drop_last=True):
         path = os.path.join(args.data_dir, name)
         if not os.path.exists(path):
             return None
         return AlignmentLoader(path, tokenizer, shapes, batch_size=batch_size,
                                shuffle=shuffle, seed=args.seed,
                                visual_target=args.visual_target,
+                               drop_last=drop_last,
                                prefetch=min(16, max(2, args.cache // max(batch_size, 1))))
 
     train_loader = loader(args.file_train, args.train_batch_size, True)
-    val_loader = loader(args.file_valid, args.eval_batch_size, False)
-    test_loader = loader(args.file_test, args.eval_batch_size, False)
+    # eval/pred must see EVERY pair: keep the remainder batch (one extra
+    # XLA compile for the partial shape is the price of not dropping data)
+    val_loader = loader(args.file_valid, args.eval_batch_size, False,
+                        drop_last=False)
+    test_loader = loader(args.file_test, args.eval_batch_size, False,
+                         drop_last=False)
 
     sample_loader = train_loader or val_loader or test_loader
     if sample_loader is None:
@@ -146,7 +153,9 @@ def main(argv=None):
     sample_batch = next(iter(sample_loader))
 
     steps_per_epoch = max(len(sample_loader), 1)
-    total_steps = int(steps_per_epoch * args.num_train_epochs)
+    # ref finetune.py:315: schedule spans (num_train_epochs - start_epoch)
+    total_steps = int(steps_per_epoch
+                      * max(args.num_train_epochs - args.start_epoch, 1))
     trainer = AlignmentTrainer(
         config, learning_rate=args.learning_rate,
         warmup_steps=int(args.warmup_proportion * total_steps),
@@ -154,16 +163,6 @@ def main(argv=None):
         grad_accum_steps=args.gradient_accumulation_steps,
         adam_eps=args.adam_epsilon,
         seed=args.seed, n_model=args.n_model, sample_batch=sample_batch)
-
-    if args.file_checkpoint and os.path.exists(args.file_checkpoint):
-        from k3m_tpu.train.state import CheckpointManager
-        ckpt = CheckpointManager(args.file_checkpoint, config)
-        restored = ckpt.restore(trainer.state)
-        if restored is not None:
-            trainer.state, epoch = restored
-            args.start_epoch = max(args.start_epoch, epoch + 1)
-            logger.info("resumed from %s at epoch %d", args.file_checkpoint,
-                        epoch)
 
     if args.pretrained_model_path:
         from k3m_tpu.train.convert import load_pretrained_into_params
@@ -173,6 +172,17 @@ def main(argv=None):
         from k3m_tpu.train.state import load_params_msgpack
         trainer.state = trainer.state.replace(params=load_params_msgpack(
             trainer.state.params, args.file_state_dict))
+    # checkpoint resume LAST so it supersedes initial weights on rerun
+    if args.file_checkpoint and os.path.exists(args.file_checkpoint):
+        from k3m_tpu.train.state import CheckpointManager
+        ckpt = CheckpointManager(args.file_checkpoint, config)
+        epoch = ckpt.latest_epoch()
+        restored = ckpt.restore(trainer.state) if epoch is not None else None
+        if restored is not None:
+            trainer.state = restored
+            args.start_epoch = max(args.start_epoch, epoch + 1)
+            logger.info("resumed from %s at epoch %d", args.file_checkpoint,
+                        epoch)
 
     if args.do_train:
         history = trainer.fit(train_loader,

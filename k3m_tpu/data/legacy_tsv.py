@@ -102,20 +102,18 @@ def generate_tsv(image_ids: Iterable[Tuple[str, str]], image_dir: str,
     if extractor is None:
         from k3m_tpu.vision.frcnn import make_extractor
         extractor = make_extractor(image_dir, weights_path)
-    n = 0
-    with open(outfile, "w", encoding="utf-8", newline="") as f:
-        writer = csv.DictWriter(f, delimiter="\t", fieldnames=FIELDNAMES)
+
+    def detections():
         for image_id, image_file in image_ids:
             try:
                 det = extractor({"item_image_name": image_file})
-                if det is None:
-                    continue
-                det = dict(det, image_id=image_id)
-                writer.writerow(detection_to_row(det))
-                n += 1
             except Exception:
                 logger.exception("[ERROR] image_id: %s", image_id)
-    return n
+                continue
+            if det is not None:
+                yield dict(det, image_id=image_id)
+
+    return write_tsv(detections(), outfile)
 
 
 def load_caption_index(df_csv: str) -> Dict[str, Tuple[str, str, str]]:

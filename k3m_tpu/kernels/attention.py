@@ -39,12 +39,7 @@ def _attn_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
-                        + pl.program_id(1))
-        bits = pltpu.prng_random_bits(probs.shape)
-        # uniform in [0,1) from the top 24 bits
-        u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-        keep = (u >= dropout_rate).astype(jnp.float32)
+        keep = _dropout_mask(probs.shape, seed_ref, dropout_rate)
         probs = probs * keep / (1.0 - dropout_rate)
     out = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())),
@@ -52,10 +47,13 @@ def _attn_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
-def _dropout_mask(probs_shape, seed_ref, dropout_rate: float):
-    """Regenerable in-kernel dropout keep-mask (identical seeding in the
-    forward and backward kernels)."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+def _dropout_mask(probs_shape, seed_ref, dropout_rate: float,
+                  salt: int = 0):
+    """Regenerable in-kernel dropout keep-mask — the SINGLE source of the
+    seeding formula; forward and backward kernels (and both co-attention
+    directions, via salt) must produce bit-identical masks."""
+    pltpu.prng_seed(seed_ref[0] + salt
+                    + pl.program_id(0) * pl.num_programs(1)
                     + pl.program_id(1))
     bits = pltpu.prng_random_bits(probs_shape)
     u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))

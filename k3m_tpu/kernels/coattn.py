@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from k3m_tpu.kernels.attention import _dropout_mask
+
 
 def _biattn_kernel(seed_ref, q1_ref, k1_ref, v1_ref, b1_ref,
                    q2_ref, k2_ref, v2_ref, b2_ref,
@@ -36,12 +38,8 @@ def _biattn_kernel(seed_ref, q1_ref, k1_ref, v1_ref, b1_ref,
         e = jnp.exp(scores - m)
         probs = e / jnp.sum(e, axis=-1, keepdims=True)
         if rate > 0.0:
-            pltpu.prng_seed(seed_ref[0] + salt
-                            + pl.program_id(0) * pl.num_programs(1)
-                            + pl.program_id(1))
-            bits = pltpu.prng_random_bits(probs.shape)
-            u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-            probs = probs * (u >= rate).astype(jnp.float32) / (1.0 - rate)
+            keep = _dropout_mask(probs.shape, seed_ref, rate, salt)
+            probs = probs * keep / (1.0 - rate)
         return jax.lax.dot_general(
             probs, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

@@ -28,17 +28,45 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from k3m_tpu.config import K3MConfig
-from k3m_tpu.model.layers import (BertEmbeddings, ImageEmbeddings, LayerNorm,
-                                  TextLayer, act_fn, compute_dtype,
-                                  dense_init, mask_to_bias)
+from k3m_tpu.model.layers import (BertEmbeddings, LayerNorm, TextLayer,
+                                  act_fn, compute_dtype, dense_init,
+                                  mask_to_bias)
 from k3m_tpu.model.pretrain import cross_entropy_ignore
+
+
+class _BaseImageEmbeddings(nn.Module):
+    """basebert's image embedding (ref BertImageEmbeddings, basebert.py:
+    324-352): feature + location projections PLUS a token-type embedding —
+    image tokens get type id 1 (ref :342-352) — then LN + dropout. The
+    dual-stream ImageEmbeddings (layers.py) has no type term, so this model
+    keeps its own block."""
+    config: K3MConfig
+
+    @nn.compact
+    def __call__(self, image_feat, image_loc, *, deterministic: bool):
+        cfg = self.config
+        dtype = compute_dtype(cfg)
+        init = dense_init(cfg.initializer_range)
+        x = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                     name="image_embeddings")(image_feat.astype(dtype))
+        loc = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
+                       name="image_location_embeddings")(
+            image_loc.astype(dtype))
+        type_emb = self.param("token_type_embeddings", init,
+                              (cfg.type_vocab_size, cfg.v_hidden_size),
+                              jnp.float32)
+        x = x + loc + type_emb[1].astype(dtype)    # type id 1 for all RoIs
+        x = LayerNorm(dtype=dtype, name="LayerNorm")(x)
+        if not deterministic and cfg.hidden_dropout_prob > 0:
+            x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=False)
+        return x
 
 
 class SingleStreamModel(nn.Module):
     """Text + image tokens through one BERT stack (ref BertModel:659-776).
 
-    NOTE: image RoIs are embedded with ImageEmbeddings, which projects
-    2048-d features to v_hidden_size; single-stream requires
+    NOTE: image RoIs are embedded with _BaseImageEmbeddings (feature + loc
+    + type-1 embedding), projecting to v_hidden_size; single-stream requires
     v_hidden_size == hidden_size (as the reference's config does when this
     model is used)."""
     config: K3MConfig
@@ -63,7 +91,7 @@ class SingleStreamModel(nn.Module):
             (cfg.vocab_size, cfg.hidden_size), jnp.float32)
         txt = BertEmbeddings(cfg, name="embeddings")(
             input_ids, token_type_ids, word_table, deterministic=deterministic)
-        img = ImageEmbeddings(cfg, name="image_embeddings")(
+        img = _BaseImageEmbeddings(cfg, name="image_embeddings")(
             image_feat, image_loc, deterministic=deterministic)
         x = jnp.concatenate([txt, img.astype(txt.dtype)], axis=1)
 

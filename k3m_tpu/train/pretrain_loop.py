@@ -77,6 +77,7 @@ class PretrainTrainer:
                  total_steps: int = 1000,
                  weight_decay: float = 0.01,
                  grad_accum_steps: int = 1,
+                 adam_eps: float = 1e-6,
                  loss_img_weight: float = 1.0,
                  objective: int = 0,
                  seed: int = 42,
@@ -107,7 +108,7 @@ class PretrainTrainer:
         self.tx = make_optimizer(
             params, learning_rate, warmup_steps, total_steps,
             weight_decay=weight_decay, grad_accum_steps=grad_accum_steps,
-            pretrained_paths=pretrained_paths)
+            pretrained_paths=pretrained_paths, adam_eps=adam_eps)
         # optimizer moments inherit the parameter shardings via jit inference
         opt_state = jax.jit(self.tx.init)(params)
         self.state = TrainState(step=0, params=params, opt_state=opt_state)

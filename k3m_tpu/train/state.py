@@ -66,7 +66,9 @@ class CheckpointManager:
 
     def save(self, state: TrainState, epoch: int) -> str:
         path = os.path.join(self.directory, f"epoch_{epoch}")
-        self._ckptr.save(os.path.join(path, "state"), state)
+        # overwrite like the reference's per-epoch torch.save
+        # (train_concap_struc.py:691-705) — re-running an epoch must not crash
+        self._ckptr.save(os.path.join(path, "state"), state, force=True)
         save_params_msgpack(state.params, os.path.join(path, "params.msgpack"))
         self._ckptr.wait_until_finished()
         with open(os.path.join(self.directory, "latest.json"), "w") as f:

@@ -150,6 +150,7 @@ def main(argv=None):
         total_steps=total_steps,
         grad_accum_steps=args.gradient_accumulation_steps,
         loss_img_weight=args.loss_img_weight, objective=args.objective,
+        adam_eps=args.adam_epsilon,
         seed=args.seed, n_model=args.n_model, sample_batch=sample_batch,
         pretrained_paths=pretrained_paths)
 

@@ -12,6 +12,8 @@ python "$MAIN" \
   --output_dir "$OUTPUT_DIR" \
   --file_train "train_item_alignment.k3mr" \
   --file_valid "valid_item_alignment.k3mr" \
+  --use_image \
+  --with_coattention \
   --do_train --do_eval \
   --loss_type inner \
   --if_pre_sampling 1 \

@@ -12,6 +12,8 @@ python "$MAIN" \
   --data_dir "$DATA_DIR" \
   --output_dir "$OUTPUT_DIR" \
   --file_test "test_item_alignment.k3mr" \
+  --use_image \
+  --with_coattention \
   --do_pred \
   --threshold "$THRESHOLD" \
   --eval_batch_size 1024 \

@@ -184,6 +184,7 @@ def main(argv=None):
         warmup_steps=int(args.warmup_proportion * total_steps),
         total_steps=total_steps,
         grad_accum_steps=args.gradient_accumulation_steps,
+        adam_eps=args.adam_epsilon,
         loss_img_weight=args.loss_img_weight,
         objective=args.objective,
         seed=args.seed,
