@@ -230,3 +230,43 @@ def load_pretrained_bert_paths(torch_path: str) -> Set[str]:
     (ref train_concap_struc.py:372-373)."""
     sd = load_torch_state_dict(torch_path)
     return set("params/" + p for p in reference_to_flat(sd))
+
+
+def resize_word_embeddings(params, new_vocab_size: int, seed: int = 0,
+                           initializer_range: float = 0.02):
+    """Grow/shrink the tied word-embedding table (+ MLM decoder bias) to
+    new_vocab_size — the flax counterpart of the reference's
+    `_resize_token_embeddings`/`_get_resized_embeddings`
+    (vilbert_k3m/utils.py:959-1010): copied rows for min(old, new), normal
+    init for any new rows, bias rows zero-initialized.
+
+    Returns a new params pytree; every other leaf is shared unchanged."""
+    flat = _flatten(params)
+    table_paths = [p for p in flat
+                   if p.endswith("word_embeddings") and flat[p].ndim == 2]
+    bias_paths = [p for p in flat if p.endswith("decoder_bias")]
+    if not table_paths:
+        raise ValueError("no word_embeddings table found")
+    rng = np.random.default_rng(seed)
+    out = dict(flat)
+    for p in table_paths:
+        old = np.asarray(flat[p])
+        n, h = old.shape
+        new = rng.normal(0.0, initializer_range,
+                         (new_vocab_size, h)).astype(old.dtype)
+        new[:min(n, new_vocab_size)] = old[:min(n, new_vocab_size)]
+        out[p] = new
+    for p in bias_paths:
+        old = np.asarray(flat[p])
+        new = np.zeros((new_vocab_size,), old.dtype)
+        new[:min(old.shape[0], new_vocab_size)] = \
+            old[:min(old.shape[0], new_vocab_size)]
+        out[p] = new
+    result: Dict[str, Any] = {}
+    for path, value in out.items():
+        node = result
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
+    return result

@@ -85,3 +85,34 @@ def test_grad_accumulation():
     assert all(float(jnp.abs(u).max()) == 0 for u in jax.tree.leaves(u1))
     u2, state = tx.update(grads, state, params)
     assert any(float(jnp.abs(u).max()) >= 0 for u in jax.tree.leaves(u2))
+
+
+def test_resize_word_embeddings():
+    """Flax counterpart of the reference's _get_resized_embeddings
+    (vilbert_k3m/utils.py:959-1010)."""
+    import numpy as np
+
+    from k3m_tpu.train.convert import resize_word_embeddings
+
+    params = {"params": {
+        "trunk": {"word_embeddings": np.arange(20, dtype=np.float32
+                                               ).reshape(10, 2)},
+        "cls": {"predictions": {"decoder_bias": np.arange(10, dtype=np.float32)}},
+        "other": {"kernel": np.ones((3, 3), np.float32)},
+    }}
+    grown = resize_word_embeddings(params, 14)
+    gt = grown["params"]["trunk"]["word_embeddings"]
+    gb = grown["params"]["cls"]["predictions"]["decoder_bias"]
+    assert gt.shape == (14, 2) and gb.shape == (14,)
+    np.testing.assert_array_equal(gt[:10],
+                                  params["params"]["trunk"]["word_embeddings"])
+    np.testing.assert_array_equal(gb[:10], np.arange(10))
+    assert (gb[10:] == 0).all()
+    np.testing.assert_array_equal(grown["params"]["other"]["kernel"],
+                                  np.ones((3, 3)))
+
+    shrunk = resize_word_embeddings(params, 6)
+    assert shrunk["params"]["trunk"]["word_embeddings"].shape == (6, 2)
+    np.testing.assert_array_equal(
+        shrunk["params"]["cls"]["predictions"]["decoder_bias"],
+        np.arange(6))
