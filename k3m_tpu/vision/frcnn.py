@@ -135,14 +135,22 @@ class FasterRCNN(nn.Module):
 
 def resize_shortest_edge(image: np.ndarray, min_size=MIN_SIZE_TEST,
                          max_size=MAX_SIZE_TEST) -> np.ndarray:
+    """Host-side bilinear resize (cv2), like detectron2's ResizeShortestEdge
+    preprocessing — keeps the resize off the accelerator so extraction costs
+    ONE host->device transfer per image."""
     h, w = image.shape[:2]
     scale = min_size / min(h, w)
     if max(h, w) * scale > max_size:
         scale = max_size / max(h, w)
     nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
-    out = jax.image.resize(jnp.asarray(image, jnp.float32), (nh, nw, 3),
-                           method="bilinear")
-    return np.asarray(out)
+    try:
+        import cv2
+        return cv2.resize(image.astype(np.float32), (nw, nh),
+                          interpolation=cv2.INTER_LINEAR)
+    except ImportError:  # pragma: no cover
+        out = jax.image.resize(jnp.asarray(image, jnp.float32), (nh, nw, 3),
+                               method="bilinear")
+        return np.asarray(out)
 
 
 @jax.jit
@@ -184,7 +192,13 @@ def _select_instances(outputs, valid):
     sel_boxes = flat_boxes[idx]
     sel_scores = flat_scores[idx]
     sel_rows = row_ids[idx]
-    return dict(boxes=sel_boxes, scores=sel_scores, rows=sel_rows, valid=ok)
+    # gather the per-RoI features/probs ON DEVICE: only the NUM_OBJECTS
+    # selected rows ever cross the device->host link (the full [300, 2048]
+    # pull made extraction transfer-bound)
+    sel_feats = outputs["features"][sel_rows]
+    sel_probs = outputs["probs"][sel_rows]
+    return dict(boxes=sel_boxes, scores=sel_scores, rows=sel_rows, valid=ok,
+                features=sel_feats, cls_prob=sel_probs)
 
 
 def extract_rois(model: FasterRCNN, params, raw_image_bgr: np.ndarray
@@ -203,10 +217,9 @@ def extract_rois(model: FasterRCNN, params, raw_image_bgr: np.ndarray
     if n == 0:
         return None
     order = np.argsort(~sel["valid"])          # valid first, stable
-    rows = sel["rows"][order][:n]
     boxes = sel["boxes"][order][:n]
-    feats = np.asarray(jax.device_get(outputs["features"]))[rows]
-    probs = np.asarray(jax.device_get(outputs["probs"]))[rows]
+    feats = np.asarray(sel["features"])[order][:n]
+    probs = np.asarray(sel["cls_prob"])[order][:n]
     # rescale boxes to the raw image size (detector_postprocess)
     scale_x, scale_y = raw_w / iw, raw_h / ih
     boxes = boxes * np.array([scale_x, scale_y, scale_x, scale_y], np.float32)
