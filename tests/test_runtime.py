@@ -60,3 +60,41 @@ def test_pipeline_uses_native(tmp_path):
         assert isinstance(loader.reader, NativeRecordReader)
     b = next(iter(loader))
     assert b["input_ids"].shape == (4, 12)
+
+
+def test_checkpoint_manager_save_restore_overwrite(tmp_path):
+    """Full-state save / latest / restore / overwrite-on-resave (the
+    reference's per-epoch torch.save semantics, train_concap_struc.py:691)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from k3m_tpu.train.state import CheckpointManager, TrainState
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    tx = optax.sgd(0.1)
+    state = TrainState(step=7, params=params, opt_state=tx.init(params))
+    mgr = CheckpointManager(str(tmp_path))
+
+    assert mgr.latest_epoch() is None
+    assert mgr.restore(state) is None
+
+    mgr.save(state, epoch=0)
+    assert mgr.latest_epoch() == 0
+    back = mgr.restore(state)
+    np.testing.assert_array_equal(np.asarray(back.params["w"]),
+                                  np.asarray(params["w"]))
+    assert int(back.step) == 7
+
+    # overwrite the SAME epoch (re-run) must not crash and must win
+    state2 = TrainState(step=9, params={"w": params["w"] * 2},
+                        opt_state=tx.init(params))
+    mgr.save(state2, epoch=0)
+    back2 = mgr.restore(state)
+    assert int(back2.step) == 9
+    np.testing.assert_array_equal(np.asarray(back2.params["w"]),
+                                  np.asarray(params["w"]) * 2)
+
+    mgr.save(state2, epoch=1)
+    assert mgr.latest_epoch() == 1
