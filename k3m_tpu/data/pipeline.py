@@ -39,7 +39,10 @@ class _LoaderBase:
                  seed: int, drop_last: bool = True, prefetch: int = 4,
                  use_native: bool = True):
         self.reader = None
-        if use_native:
+        if record_path.endswith(".array_record"):
+            from k3m_tpu.data.grain_pipeline import ArrayRecordStore
+            self.reader = ArrayRecordStore(record_path)
+        if self.reader is None and use_native:
             from k3m_tpu.runtime import get_native_reader
             self.reader = get_native_reader(record_path)
         if self.reader is None:

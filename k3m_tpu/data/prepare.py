@@ -106,7 +106,11 @@ def build_pair_records(pairs_jsonl: str, feature_record_path: str
                        ) -> Iterator[Dict]:
     """Join item-alignment pairs against a feature record file
     (reference pair_serialize, data_prepare.py:519-545)."""
-    reader = RecordReader(feature_record_path)
+    if feature_record_path.endswith(".array_record"):
+        from k3m_tpu.data.grain_pipeline import ArrayRecordStore
+        reader = ArrayRecordStore(feature_record_path)
+    else:
+        reader = RecordReader(feature_record_path)
     by_id = {}
     for i in range(len(reader)):
         rec = reader[i]
@@ -139,19 +143,23 @@ def main(argv=None):
         from k3m_tpu.vision.frcnn import make_extractor
         extractor = make_extractor(args.image_dir)
 
-    n = 0
-    with RecordWriter(args.output) as w:
-        if args.pairs:
-            for rec in build_pair_records(args.pairs, args.features):
-                w.write(rec)
-                n += 1
+    if args.pairs:
+        records = build_pair_records(args.pairs, args.features)
+    else:
+        if args.item_info:
+            raw = parse_item_info_jsonl(args.item_info,
+                                        segment_jieba=args.jieba)
         else:
-            if args.item_info:
-                raw = parse_item_info_jsonl(args.item_info,
-                                            segment_jieba=args.jieba)
-            else:
-                raw = parse_raw_tsv(args.input, segment_jieba=args.jieba)
-            for rec in build_feature_records(raw, extractor, args.image_dir):
+            raw = parse_raw_tsv(args.input, segment_jieba=args.jieba)
+        records = build_feature_records(raw, extractor, args.image_dir)
+
+    if args.output.endswith(".array_record"):
+        from k3m_tpu.data.grain_pipeline import write_array_records
+        n = write_array_records(args.output, records)
+    else:
+        n = 0
+        with RecordWriter(args.output) as w:
+            for rec in records:
                 w.write(rec)
                 n += 1
     print(f"wrote {n} records to {args.output}")

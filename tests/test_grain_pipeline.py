@@ -1,0 +1,94 @@
+"""ArrayRecord + Grain pipeline tests (the north-star tensorpack/LMDB
+replacement). Skipped if grain/array_record are unavailable."""
+
+import json
+
+import numpy as np
+import pytest
+
+from k3m_tpu.data.prepare import build_feature_records, parse_raw_tsv
+from k3m_tpu.data.preprocess import ShapeSpec
+from k3m_tpu.tokenization import get_tokenizer
+
+grain_pipeline = pytest.importorskip("k3m_tpu.data.grain_pipeline")
+if not grain_pipeline.HAVE_GRAIN:
+    pytest.skip("grain/array_record not available", allow_module_level=True)
+
+SAMPLE = "/root/reference/data/raw_multidata_of_product_preatrain.small_train"
+SHAPES = ShapeSpec(max_seq_len=24, max_seq_len_pv=48, max_num_pv=6,
+                   max_region_len=4)
+
+
+@pytest.fixture(scope="module")
+def array_record_file(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("gr") / "train_feat.array_record")
+    n = grain_pipeline.write_array_records(
+        out, build_feature_records(list(parse_raw_tsv(SAMPLE))[:24]))
+    assert n == 24
+    return out
+
+
+def test_array_record_store_roundtrip(array_record_file):
+    store = grain_pipeline.ArrayRecordStore(array_record_file)
+    assert len(store) == 24
+    rec = store[0]
+    assert rec["title"] and rec["pv"]
+    assert rec["features"].shape == (0, 2048)  # zero-box placeholder
+
+
+def test_grain_pretrain_loader_batches(array_record_file):
+    tok = get_tokenizer()
+    loader = grain_pipeline.GrainPretrainLoader(
+        array_record_file, tok, SHAPES, batch_size=8, shuffle=True, seed=3,
+        num_epochs=1)
+    assert len(loader) == 3
+    batches = list(iter(loader))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["input_ids"].shape == (8, 24)
+    assert b["input_ids_pv"].shape == (8, 48)
+    assert b["image_feat"].shape == (8, 5, 2048)   # 4 regions + global token
+    assert b["index_p"].shape == (8, 6, 2)
+    assert (b["input_ids"][:, 0] == tok.cls_token_id).all()
+    # MLM masking happened (some labels set)
+    assert (np.asarray(b["lm_label_ids"]) != -1).sum() > 0
+
+
+def test_grain_loader_feeds_k3mr_consumers(array_record_file):
+    """The K3MR threaded loader must read .array_record files directly
+    (extension dispatch), yielding the same batch schema."""
+    from k3m_tpu.data.pipeline import PretrainLoader
+
+    tok = get_tokenizer()
+    loader = PretrainLoader(array_record_file, tok, SHAPES, batch_size=8,
+                            shuffle=False, seed=0, use_native=True)
+    b = next(iter(loader))
+    assert b["input_ids"].shape == (8, 24)
+    assert b["image_mask"].shape == (8, 5)
+
+
+def test_grain_alignment_loader(array_record_file, tmp_path):
+    from k3m_tpu.data.prepare import build_pair_records
+    from k3m_tpu.data.records import write_records
+
+    rows = list(parse_raw_tsv(SAMPLE))[:24]
+    pairs = str(tmp_path / "pairs.jsonl")
+    with open(pairs, "w", encoding="utf-8") as f:
+        for i in range(0, 16, 2):
+            f.write(json.dumps({"src_item_id": rows[i]["item_id"],
+                                "tgt_item_id": rows[i + 1]["item_id"],
+                                "item_label": i % 4 == 0}) + "\n")
+    out = str(tmp_path / "pairs.array_record")
+    n = grain_pipeline.write_array_records(
+        out, build_pair_records(pairs, array_record_file))
+    assert n == 8
+
+    tok = get_tokenizer()
+    loader = grain_pipeline.GrainAlignmentLoader(
+        out, tok, SHAPES, batch_size=4, shuffle=False, seed=0, num_epochs=1)
+    batches = list(iter(loader))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["label"].shape == (4,)
+    assert b["item1"]["input_ids"].shape == (4, 24)
+    assert b["item2"]["image_feat"].shape == (4, 5, 2048)
