@@ -1,0 +1,74 @@
+"""Perf probe: step time + HBM memory analysis for train-step variants.
+
+Usage: python exp/perf_probe.py [variant]
+Variants: base | nodrop
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from k3m_tpu.utils.jax_setup import setup_jax
+
+setup_jax()
+
+from k3m_tpu.config import K3MConfig
+from k3m_tpu.train import mesh as mesh_lib
+from k3m_tpu.train.pretrain_loop import PretrainTrainer, device_batch
+from __graft_entry__ import _make_batch
+
+BATCH = int(os.environ.get("K3M_BATCH", 96))
+variant = sys.argv[1] if len(sys.argv) > 1 else "base"
+
+cfg = K3MConfig().replace(dtype="bfloat16")
+if variant == "nodrop":
+    cfg = cfg.replace(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                      v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0)
+if variant == "noremat":
+    cfg = cfg.replace(remat=False)
+
+batch = _make_batch(cfg, B=BATCH, L=50, Lpv=256, R=36, P=30)
+trainer = PretrainTrainer(cfg, learning_rate=1e-4, warmup_steps=10,
+                          total_steps=1000, sample_batch=batch,
+                          mesh=mesh_lib.make_mesh(n_model=1))
+db = mesh_lib.shard_batch(device_batch(batch), trainer.mesh)
+
+lowered = trainer._train_step.lower(trainer.state, db)
+compiled = lowered.compile()
+try:
+    ma = compiled.memory_analysis()
+    print(json.dumps(dict(
+        variant=variant,
+        argument_gb=ma.argument_size_in_bytes / 1e9,
+        output_gb=ma.output_size_in_bytes / 1e9,
+        temp_gb=ma.temp_size_in_bytes / 1e9,
+        alias_gb=ma.alias_size_in_bytes / 1e9,
+    )))
+except Exception as e:
+    print("memory_analysis failed:", e)
+try:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    print(json.dumps(dict(flops_tf=ca.get("flops", 0) / 1e12,
+                          bytes_gb=ca.get("bytes accessed", 0) / 1e9)))
+except Exception as e:
+    print("cost_analysis failed:", e)
+
+# timing
+state = trainer.state
+for _ in range(2):
+    state, m = compiled(state, db)
+jax.block_until_ready(m["loss"])
+t0 = time.perf_counter()
+N = 8
+for _ in range(N):
+    state, m = compiled(state, db)
+jax.block_until_ready(m["loss"])
+dt = (time.perf_counter() - t0) / N
+print(json.dumps(dict(variant=variant, step_s=dt, samples_per_s=BATCH / dt)))

@@ -95,15 +95,30 @@ def read_tsv(path: str) -> Iterator[Dict]:
 def generate_tsv(image_ids: Iterable[Tuple[str, str]], image_dir: str,
                  outfile: str,
                  extractor: Optional[Callable] = None,
-                 weights_path: Optional[str] = None) -> int:
+                 weights_path: Optional[str] = None,
+                 batch_size: int = 8) -> int:
     """Run the JAX RoI extractor over (image_id, image_file) pairs and write
     the TSV (ref generate_tsv :176-208). Per-image failures are logged and
-    skipped, matching the reference's try/except-continue."""
+    skipped, matching the reference's try/except-continue. With
+    batch_size > 1 a BatchedExtractor amortizes device round trips over
+    image batches."""
     if extractor is None:
-        from k3m_tpu.vision.frcnn import make_extractor
-        extractor = make_extractor(image_dir, weights_path)
+        if batch_size > 1:
+            from k3m_tpu.vision.frcnn import make_batched_extractor
+            extractor = make_batched_extractor(weights_path,
+                                               batch_size=batch_size)
+        else:
+            from k3m_tpu.vision.frcnn import make_extractor
+            extractor = make_extractor(image_dir, weights_path)
 
     def detections():
+        if hasattr(extractor, "map"):
+            items = ({"item_image_name": f, "image_id": i}
+                     for i, f in image_ids)
+            for item, det in extractor.map(items, image_dir=image_dir):
+                if det is not None:
+                    yield dict(det, image_id=item["image_id"])
+            return
         for image_id, image_file in image_ids:
             try:
                 det = extractor({"item_image_name": image_file})
@@ -165,6 +180,8 @@ def main(argv=None):
     g.add_argument("--image_dir", required=True)
     g.add_argument("--weights", default=None)
     g.add_argument("--output", required=True)
+    g.add_argument("--batch_size", type=int, default=8,
+                   help="images per device call (1 = per-image path)")
     s = sub.add_parser("serialize", help="TSV + df csv -> K3MR records")
     s.add_argument("--tsv", nargs="+", required=True)
     s.add_argument("--df_csv", required=True)
@@ -180,7 +197,8 @@ def main(argv=None):
             with open(args.image_list, "r", encoding="utf-8") as f:
                 pairs = [tuple(x) for x in json.load(f)]
         n = generate_tsv(pairs, args.image_dir, args.output,
-                         weights_path=args.weights)
+                         weights_path=args.weights,
+                         batch_size=args.batch_size)
         print(f"wrote {n} rows -> {args.output}")
     else:
         n = serialize_tsv_to_records(args.tsv, args.df_csv, args.output)

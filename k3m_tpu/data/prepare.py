@@ -102,6 +102,27 @@ def build_feature_records(
         yield rec
 
 
+def build_feature_records_batched(raw: Iterator[Dict], batch_extractor,
+                                  image_dir: Optional[str]) -> Iterator[Dict]:
+    """Like build_feature_records but drives a BatchedExtractor: one device
+    round trip per image batch instead of per image."""
+    for item, det in batch_extractor.map(raw, image_dir=image_dir):
+        rec = dict(item_id=item["item_id"], title=item["title"],
+                   pv=item["pv"], category=item["category"],
+                   image_h=0, image_w=0, num_boxes=0,
+                   boxes=np.zeros((0, 4), np.float32),
+                   features=np.zeros((0, 2048), np.float32),
+                   cls_prob=np.zeros((0, 1601), np.float32))
+        if det is not None:
+            rec.update(image_h=int(det["image_h"]),
+                       image_w=int(det["image_w"]),
+                       num_boxes=int(det["num_boxes"]),
+                       boxes=np.asarray(det["boxes"], np.float32),
+                       features=np.asarray(det["features"], np.float32),
+                       cls_prob=np.asarray(det["cls_prob"], np.float32))
+        yield rec
+
+
 def build_pair_records(pairs_jsonl: str, feature_record_path: str
                        ) -> Iterator[Dict]:
     """Join item-alignment pairs against a feature record file
@@ -136,12 +157,21 @@ def main(argv=None):
     ap.add_argument("--jieba", action="store_true")
     ap.add_argument("--extract_features", action="store_true",
                     help="run the JAX Faster R-CNN RoI extractor")
+    ap.add_argument("--extract_batch_size", type=int, default=8,
+                    help="images per device call (1 = per-image path)")
+    ap.add_argument("--frcnn_weights", default=None,
+                    help="bottom-up-attention caffe pkl for the extractor")
     args = ap.parse_args(argv)
 
     extractor = None
     if args.extract_features:
-        from k3m_tpu.vision.frcnn import make_extractor
-        extractor = make_extractor(args.image_dir)
+        if args.extract_batch_size > 1:
+            from k3m_tpu.vision.frcnn import make_batched_extractor
+            extractor = make_batched_extractor(
+                args.frcnn_weights, batch_size=args.extract_batch_size)
+        else:
+            from k3m_tpu.vision.frcnn import make_extractor
+            extractor = make_extractor(args.image_dir, args.frcnn_weights)
 
     if args.pairs:
         records = build_pair_records(args.pairs, args.features)
@@ -151,7 +181,11 @@ def main(argv=None):
                                         segment_jieba=args.jieba)
         else:
             raw = parse_raw_tsv(args.input, segment_jieba=args.jieba)
-        records = build_feature_records(raw, extractor, args.image_dir)
+        if extractor is not None and hasattr(extractor, "map"):
+            records = build_feature_records_batched(raw, extractor,
+                                                    args.image_dir)
+        else:
+            records = build_feature_records(raw, extractor, args.image_dir)
 
     if args.output.endswith(".array_record"):
         from k3m_tpu.data.grain_pipeline import write_array_records

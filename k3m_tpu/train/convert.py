@@ -40,6 +40,64 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_tf_state_dict(ckpt_path: str) -> Dict[str, np.ndarray]:
+    """TF-checkpoint import (reference `load_tf_weights_in_bert`,
+    vilbert_k3m/vilbert_k3m.py:56-116): reads a TF1-style BERT checkpoint
+    and returns a torch-layout state dict consumable by `reference_to_flat`.
+
+    Name mapping mirrors the reference: `/` -> `.`, `layer_N` -> `layer.N`,
+    `kernel` -> `weight` (transposed to torch [out, in]), `gamma`/`beta` ->
+    LayerNorm `weight`/`bias`, `output_bias`/`output_weights` ->
+    `bias`/`weight`; optimizer slots (adam_v/adam_m) and `global_step` are
+    skipped (ref :75-80)."""
+    import tensorflow as tf
+
+    reader = tf.train.load_checkpoint(ckpt_path)
+    sd: Dict[str, np.ndarray] = {}
+    for name, _ in tf.train.list_variables(ckpt_path):
+        parts = name.split("/")
+        if any(p in ("adam_v", "adam_m", "AdamWeightDecayOptimizer",
+                     "AdamWeightDecayOptimizer_1", "global_step")
+               for p in parts):
+            continue
+        arr = np.asarray(reader.get_tensor(name))
+        mapped = []
+        transpose = False
+        for p in parts:
+            m = re.fullmatch(r"([A-Za-z_]+)_(\d+)", p)
+            if m and m.group(1) in ("layer", "v_layer", "c_layer",
+                                    "c_layer_pv_v", "c_layer_pv_t"):
+                mapped.extend([m.group(1), m.group(2)])
+                continue
+            if p == "kernel":
+                transpose = True
+                mapped.append("weight")
+            elif p == "gamma":
+                mapped.append("weight")
+            elif p in ("beta", "output_bias"):
+                mapped.append("bias")
+            elif p == "output_weights":
+                mapped.append("weight")
+            else:
+                mapped.append(p)
+        # trailing `*_embeddings` table -> `.weight` (ref :105-106)
+        if parts[-1].endswith("_embeddings"):
+            mapped.append("weight")
+        if transpose and arr.ndim == 2:
+            arr = arr.T
+        sd[".".join(mapped)] = arr
+    return sd
+
+
+def is_tf_checkpoint(path: str) -> bool:
+    """True for TF checkpoint prefixes (`<path>.index` exists) or direct
+    `.ckpt`/`.index` paths."""
+    import os
+    if path.endswith(".index"):
+        return True
+    return os.path.exists(path + ".index")
+
+
 def _strip_prefix(name: str) -> str:
     for p in ("bert.", "roberta.", "model."):
         if name.startswith(p):
@@ -217,7 +275,12 @@ def merge_flat_into_params(params, flat: Dict[str, np.ndarray]
 
 
 def load_pretrained_into_params(params, torch_path: str):
-    sd = load_torch_state_dict(torch_path)
+    """Load a pretrained checkpoint (torch .bin or TF checkpoint prefix —
+    auto-detected, reference from_pretrained's from_tf branch) into params."""
+    if is_tf_checkpoint(torch_path):
+        sd = load_tf_state_dict(torch_path.replace(".index", ""))
+    else:
+        sd = load_torch_state_dict(torch_path)
     flat = reference_to_flat(sd)
     new_params, loaded, skipped = merge_flat_into_params(params, flat)
     logger.info("loaded %d tensors from %s (%d unmatched)", len(loaded),

@@ -92,7 +92,9 @@ def nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
     def body(i, carry):
         alive, order_scores, idxs, valid = carry
         best = jnp.argmax(jnp.where(alive, order_scores, -jnp.inf))
-        best_ok = alive[best]
+        # -inf-scored boxes (degenerate / suppressed-anchor candidates) are
+        # never valid picks even while "alive"
+        best_ok = alive[best] & (order_scores[best] > -jnp.inf)
         idxs = idxs.at[i].set(best)
         valid = valid.at[i].set(best_ok)
         suppress = iou[best] > iou_threshold

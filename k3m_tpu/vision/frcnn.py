@@ -100,6 +100,15 @@ class FasterRCNN(nn.Module):
         proposals = box_lib.apply_deltas(deltas, anchors)
         proposals = box_lib.clip_boxes(proposals, image_hw[0], image_hw[1])
 
+        # suppress anchors centred beyond the true image extent: a no-op for
+        # exact-size inputs (centres lie on the stride grid inside the image)
+        # but required when the image sits in a larger padded canvas
+        # (batched extraction) so padding never proposes boxes
+        ctr_x = (anchors[:, 0] + anchors[:, 2]) * 0.5
+        ctr_y = (anchors[:, 1] + anchors[:, 3]) * 0.5
+        inside = (ctr_x <= image_hw[1]) & (ctr_y <= image_hw[0])
+        logits = jnp.where(inside, logits, -jnp.inf)
+
         k = min(PRE_NMS_TOPK, logits.shape[0])
         top_scores, top_idx = jax.lax.top_k(logits, k)
         top_boxes = proposals[top_idx]
@@ -201,34 +210,168 @@ def _select_instances(outputs, valid):
                 features=sel_feats, cls_prob=sel_probs)
 
 
-def extract_rois(model: FasterRCNN, params, raw_image_bgr: np.ndarray
+def _finalize_selection(sel: Dict, raw_h: int, raw_w: int, ih: float,
+                        iw: float) -> Optional[Dict]:
+    """Host-side tail of extraction: order valid rows first, slice to the
+    detected count, rescale boxes back to the raw image size
+    (detector_postprocess), NaN-guard (ref data_prepare.py:244-245)."""
+    n = int(sel["valid"].sum())
+    if n == 0:
+        return None
+    order = np.argsort(~sel["valid"])          # valid first, stable
+    boxes = np.asarray(sel["boxes"])[order][:n].copy()
+    feats = np.asarray(sel["features"])[order][:n]
+    probs = np.asarray(sel["cls_prob"])[order][:n]
+    scale_x, scale_y = raw_w / iw, raw_h / ih
+    boxes = boxes * np.array([scale_x, scale_y, scale_x, scale_y], np.float32)
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, raw_w)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, raw_h)
+    if np.isnan(feats).any():
+        return None
+    return dict(image_h=raw_h, image_w=raw_w, num_boxes=n, boxes=boxes,
+                features=feats, cls_prob=probs)
+
+
+def extract_rois(model: FasterRCNN, params, raw_image_bgr: np.ndarray,
+                 min_size: int = MIN_SIZE_TEST, max_size: int = MAX_SIZE_TEST
                  ) -> Optional[Dict]:
     """Full extraction matching get_detections_from_image
     (data_prepare.py:183-258). raw_image_bgr: uint8 [H, W, 3] BGR."""
     raw_h, raw_w = raw_image_bgr.shape[:2]
-    image = resize_shortest_edge(raw_image_bgr.astype(np.float32))
+    image = resize_shortest_edge(raw_image_bgr.astype(np.float32),
+                                 min_size, max_size)
     ih, iw = image.shape[:2]
     image = image - np.asarray(PIXEL_MEAN_BGR, np.float32)
     outputs = model.apply(params, jnp.asarray(image),
                           (float(ih), float(iw)))
     sel = _select_instances(outputs, outputs["proposal_valid"])
     sel = jax.device_get(sel)
-    n = int(sel["valid"].sum())
-    if n == 0:
-        return None
-    order = np.argsort(~sel["valid"])          # valid first, stable
-    boxes = sel["boxes"][order][:n]
-    feats = np.asarray(sel["features"])[order][:n]
-    probs = np.asarray(sel["cls_prob"])[order][:n]
-    # rescale boxes to the raw image size (detector_postprocess)
-    scale_x, scale_y = raw_w / iw, raw_h / ih
-    boxes = boxes * np.array([scale_x, scale_y, scale_x, scale_y], np.float32)
-    boxes[:, 0::2] = boxes[:, 0::2].clip(0, raw_w)
-    boxes[:, 1::2] = boxes[:, 1::2].clip(0, raw_h)
-    if np.isnan(feats).any():
-        return None                            # ref data_prepare.py:244-245
-    return dict(image_h=raw_h, image_w=raw_w, num_boxes=n, boxes=boxes,
-                features=feats, cls_prob=probs)
+    return _finalize_selection(sel, raw_h, raw_w, float(ih), float(iw))
+
+
+class BatchedExtractor:
+    """Size-bucketed, batched RoI extraction.
+
+    The per-image path (`extract_rois`) pays one H2D + one D2H round trip
+    per image; on a tunneled/remote chip that link latency — not device
+    compute — bounds throughput (measured 0.88 img/s). This class batches
+    `batch_size` host-resized images into a fixed zero-padded canvas
+    (bucketed to multiples of `bucket` px so at most a handful of XLA
+    programs ever compile) and vmaps the full network + NMS selection over
+    the batch: one round trip per `batch_size` images.
+
+    Padding parity: the canvas is zero after mean subtraction — exactly
+    detectron2's batched `ImageList.from_tensors` padding — and RPN anchors
+    centred beyond the true image extent are score-suppressed, so padding
+    can never propose boxes; remaining deltas vs the per-image path are
+    conv border halo only (same as detectron2 batch-vs-single inference).
+    """
+
+    def __init__(self, model: FasterRCNN, params, batch_size: int = 8,
+                 bucket: int = 200, min_size: int = MIN_SIZE_TEST,
+                 max_size: int = MAX_SIZE_TEST):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.bucket = bucket
+        self.min_size = min_size
+        self.max_size = max_size
+        self._fns: Dict[tuple, object] = {}
+
+    def _fn(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._fns:
+            model = self.model
+
+            def run(params, imgs, hws):
+                def one(img, hw):
+                    out = model.apply(params, img, (hw[0], hw[1]))
+                    return _select_instances(out, out["proposal_valid"])
+                return jax.vmap(one, in_axes=(0, 0))(imgs, hws)
+
+            self._fns[key] = jax.jit(run)
+        return self._fns[key]
+
+    def _canvas_hw(self, ih: int, iw: int) -> tuple:
+        b = self.bucket
+        return (-(-ih // b) * b, -(-iw // b) * b)
+
+    def extract_many(self, raw_images_bgr) -> list:
+        """[uint8 BGR HxWx3, ...] -> [detection dict | None, ...] in order."""
+        prepped = []
+        for im in raw_images_bgr:
+            if im is None:
+                prepped.append(None)
+                continue
+            raw_h, raw_w = im.shape[:2]
+            r = resize_shortest_edge(im.astype(np.float32),
+                                     self.min_size, self.max_size)
+            r = r - np.asarray(PIXEL_MEAN_BGR, np.float32)
+            prepped.append((r, raw_h, raw_w))
+        groups: Dict[tuple, list] = {}
+        for i, p in enumerate(prepped):
+            if p is None:
+                continue
+            ih, iw = p[0].shape[:2]
+            groups.setdefault(self._canvas_hw(ih, iw), []).append(i)
+        results: list = [None] * len(prepped)
+        B = self.batch_size
+        for (ch, cw), idxs in groups.items():
+            fn = self._fn(ch, cw)
+            for s in range(0, len(idxs), B):
+                chunk = idxs[s:s + B]
+                canvas = np.zeros((B, ch, cw, 3), np.float32)
+                hws = np.ones((B, 2), np.float32)
+                for j, i in enumerate(chunk):
+                    img = prepped[i][0]
+                    canvas[j, :img.shape[0], :img.shape[1]] = img
+                    hws[j] = (img.shape[0], img.shape[1])
+                sel = jax.device_get(fn(self.params, canvas, hws))
+                for j, i in enumerate(chunk):
+                    one = {k: v[j] for k, v in sel.items()}
+                    ih, iw = prepped[i][0].shape[:2]
+                    results[i] = _finalize_selection(
+                        one, prepped[i][1], prepped[i][2], float(ih), float(iw))
+        return results
+
+    def map(self, items, image_dir: Optional[str] = None):
+        """Generator over (item, detection-or-None) in input order, loading
+        images from disk and batching device work. Per-image failures are
+        tolerated (ref data_prepare.py:360-366)."""
+        import cv2
+
+        buf = []
+
+        def flush():
+            images = []
+            for it in buf:
+                name = (it.get("item_image_name")
+                        or it.get("image_url", "").split("/")[-1])
+                path = os.path.join(image_dir or "", name)
+                images.append(cv2.imread(path))
+            try:
+                dets = self.extract_many(images)
+            except Exception:
+                logger.exception("batched extraction failed; falling back "
+                                 "to per-image")
+                dets = []
+                for im in images:
+                    try:
+                        dets.append(None if im is None else
+                                    extract_rois(self.model, self.params, im))
+                    except Exception:
+                        logger.exception("extraction failed")
+                        dets.append(None)
+            out = list(zip(list(buf), dets))
+            buf.clear()
+            return out
+
+        for item in items:
+            buf.append(item)
+            if len(buf) >= self.batch_size:
+                yield from flush()
+        if buf:
+            yield from flush()
 
 
 # ----------------------------------------------------------- weight loading
@@ -313,10 +456,7 @@ def convert_caffe_weights(sd: Dict[str, np.ndarray], params) -> Dict:
     return tree
 
 
-def make_extractor(image_dir: Optional[str], weights_path: Optional[str] = None):
-    """Returns item -> detection dict (or None), for data preparation."""
-    import cv2
-
+def _build_model_params(weights_path: Optional[str] = None):
     model = FasterRCNN()
     dummy = jnp.zeros((64, 64, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), dummy, (64.0, 64.0))
@@ -326,6 +466,23 @@ def make_extractor(image_dir: Optional[str], weights_path: Optional[str] = None)
     else:
         logger.warning("no caffe pkl provided — extractor runs with random "
                        "weights (features are not meaningful)")
+    return model, params
+
+
+def make_batched_extractor(weights_path: Optional[str] = None,
+                           batch_size: int = 8,
+                           bucket: int = 200) -> BatchedExtractor:
+    """Batched extractor: `.extract_many(images)` / `.map(items, image_dir)`."""
+    model, params = _build_model_params(weights_path)
+    return BatchedExtractor(model, params, batch_size=batch_size,
+                            bucket=bucket)
+
+
+def make_extractor(image_dir: Optional[str], weights_path: Optional[str] = None):
+    """Returns item -> detection dict (or None), for data preparation."""
+    import cv2
+
+    model, params = _build_model_params(weights_path)
 
     def extractor(item):
         name = item.get("item_image_name") or item.get("image_url", "").split("/")[-1]

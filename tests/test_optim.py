@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from k3m_tpu.train.optim import (
     is_no_decay, make_optimizer, warmup_linear_schedule,
@@ -116,3 +117,53 @@ def test_resize_word_embeddings():
     np.testing.assert_array_equal(
         shrunk["params"]["cls"]["predictions"]["decoder_bias"],
         np.arange(6))
+
+
+def test_tf_checkpoint_import(tmp_path):
+    """load_tf_state_dict maps TF1 BERT variable names to torch layout
+    (reference load_tf_weights_in_bert, vilbert_k3m.py:56-116): kernel
+    transposed, gamma/beta -> weight/bias, *_embeddings -> .weight,
+    adam_m/adam_v skipped."""
+    tf = pytest.importorskip("tensorflow")
+    tf1 = tf.compat.v1
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(5, 4)).astype(np.float32)
+    kernel = rng.normal(size=(4, 3)).astype(np.float32)
+    bias = rng.normal(size=(3,)).astype(np.float32)
+    gamma = rng.normal(size=(4,)).astype(np.float32)
+
+    g = tf1.Graph()
+    with g.as_default():
+        tf1.get_variable("bert/embeddings/word_embeddings", initializer=emb)
+        tf1.get_variable("bert/embeddings/LayerNorm/gamma", initializer=gamma)
+        tf1.get_variable("bert/embeddings/LayerNorm/beta",
+                         initializer=np.zeros(4, np.float32))
+        tf1.get_variable("bert/encoder/layer_0/attention/self/query/kernel",
+                         initializer=kernel)
+        tf1.get_variable("bert/encoder/layer_0/attention/self/query/bias",
+                         initializer=bias)
+        tf1.get_variable("bert/encoder/layer_0/attention/self/query/adam_m",
+                         initializer=kernel)
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=g) as sess:
+            sess.run(tf1.global_variables_initializer())
+            prefix = saver.save(sess, str(tmp_path / "model.ckpt"))
+
+    from k3m_tpu.train.convert import (is_tf_checkpoint, load_tf_state_dict,
+                                       reference_to_flat)
+    assert is_tf_checkpoint(prefix)
+    sd = load_tf_state_dict(prefix)
+    np.testing.assert_array_equal(
+        sd["bert.embeddings.word_embeddings.weight"], emb)
+    np.testing.assert_array_equal(sd["bert.embeddings.LayerNorm.weight"], gamma)
+    # kernel transposed to torch [out, in]
+    np.testing.assert_array_equal(
+        sd["bert.encoder.layer.0.attention.self.query.weight"], kernel.T)
+    np.testing.assert_array_equal(
+        sd["bert.encoder.layer.0.attention.self.query.bias"], bias)
+    assert not any("adam" in k for k in sd)
+    # flows through the standard torch->flax mapping
+    flat = reference_to_flat(sd)
+    np.testing.assert_array_equal(flat["trunk/word_embeddings"], emb)
+    np.testing.assert_array_equal(
+        flat["trunk/encoder/layer_0/attention/query/kernel"], kernel)

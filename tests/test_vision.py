@@ -93,3 +93,41 @@ def test_frcnn_tiny_forward():
     assert out["boxes"].shape == (300, 7, 4)
     assert np.isfinite(np.array(out["features"])).all()
     np.testing.assert_allclose(np.array(out["probs"]).sum(-1), 1.0, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_batched_extractor_matches_single_image_path():
+    """BatchedExtractor on an exact-canvas image must reproduce the
+    per-image extract_rois result; a padded (smaller) image must still
+    produce a well-formed detection dict with boxes inside the raw image."""
+    from k3m_tpu.vision.frcnn import (BatchedExtractor, FasterRCNN,
+                                      extract_rois)
+
+    rng = np.random.default_rng(1)
+    model = FasterRCNN(num_classes=7)
+    img_exact = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    img_small = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((64, 64, 3), jnp.float32), (64.0, 64.0))
+
+    single = extract_rois(model, params, img_exact, min_size=64, max_size=64)
+    bx = BatchedExtractor(model, params, batch_size=2, bucket=64,
+                          min_size=64, max_size=64)
+    batched = bx.extract_many([img_exact, img_small, None])
+    assert len(batched) == 3 and batched[2] is None
+
+    b0 = batched[0]
+    if single is None:
+        assert b0 is None
+    else:
+        assert b0 is not None
+        assert b0["num_boxes"] == single["num_boxes"]
+        np.testing.assert_allclose(b0["boxes"], single["boxes"],
+                                   rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(b0["features"], single["features"],
+                                   rtol=1e-3, atol=1e-2)
+    b1 = batched[1]
+    if b1 is not None:
+        assert b1["image_h"] == 48 and b1["image_w"] == 64
+        assert (b1["boxes"][:, 3] <= 48 + 1e-3).all()
+        assert (b1["boxes"][:, 2] <= 64 + 1e-3).all()
