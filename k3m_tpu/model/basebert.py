@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from k3m_tpu.config import K3MConfig
 from k3m_tpu.model.layers import (BertEmbeddings, LayerNorm, TextLayer,
-                                  act_fn, compute_dtype, dense_init,
+                                  act_fn, compute_dtype, dense_init, dropout,
                                   mask_to_bias)
 from k3m_tpu.model.pretrain import cross_entropy_ignore
 
@@ -58,7 +58,7 @@ class _BaseImageEmbeddings(nn.Module):
         x = x + loc + type_emb[1].astype(dtype)    # type id 1 for all RoIs
         x = LayerNorm(dtype=dtype, name="LayerNorm")(x)
         if not deterministic and cfg.hidden_dropout_prob > 0:
-            x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=False)
+            x = dropout(self, x, cfg.hidden_dropout_prob, deterministic=False)
         return x
 
 
@@ -203,7 +203,7 @@ class SimpleClassifier(nn.Module):
         x = nn.Dense(self.hid_dim, name="fc1")(x)
         x = nn.relu(x)
         if not deterministic and self.dropout > 0:
-            x = nn.Dropout(self.dropout)(x, deterministic=False)
+            x = dropout(self, x, self.dropout, deterministic=False)
         return nn.Dense(self.out_dim, name="fc2")(x)
 
 
@@ -237,8 +237,8 @@ class BaseBertForVLTasks(nn.Module):
         drop_v = seq_v
         drop_t = seq_t
         if not deterministic and self.dropout_prob > 0:
-            drop_v = nn.Dropout(self.dropout_prob)(seq_v, deterministic=False)
-            drop_t = nn.Dropout(self.dropout_prob)(seq_t, deterministic=False)
+            drop_v = dropout(self, seq_v, self.dropout_prob, deterministic=False)
+            drop_t = dropout(self, seq_t, self.dropout_prob, deterministic=False)
         vision_logit = (nn.Dense(1, kernel_init=init, name="vision_logit")(drop_v)
                         + ((1.0 - image_attention_mask.astype(jnp.float32))
                            * -10000.0)[:, :, None])

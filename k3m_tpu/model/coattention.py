@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from k3m_tpu.config import K3MConfig
 from k3m_tpu.model.layers import (
-    LayerNorm, act_fn, attention_core, compute_dtype, dense_init,
+    LayerNorm, act_fn, attention_core, compute_dtype, dense_init, dropout,
     merge_heads, split_heads,
 )
 
@@ -62,12 +62,15 @@ class BiAttention(nn.Module):
                 if (r1 > 0.0 or r2 > 0.0):
                     seed = jax.random.randint(self.make_rng("dropout"), (),
                                               0, 2**31 - 1)
+                # the kernel's contract is [B, H, L, D]; split_heads is
+                # reshape-only ([B, L, H, D]), so transpose here
+                bhld = lambda x: split_heads(x, h).transpose(0, 2, 1, 3)
                 ctx1, ctx2 = padded_fused_biattention(
-                    split_heads(q1, h), split_heads(k1, h), split_heads(v1, h),
-                    bias1,
-                    split_heads(q2, h), split_heads(k2, h), split_heads(v2, h),
+                    bhld(q1), bhld(k1), bhld(v1), bias1,
+                    bhld(q2), bhld(k2), bhld(v2),
                     bias2, seed, dropout1=r1, dropout2=r2, interpret=on_cpu)
-                return merge_heads(ctx1), merge_heads(ctx2)
+                unbhld = lambda x: x.transpose(0, 2, 1, 3)
+                return merge_heads(unbhld(ctx1)), merge_heads(unbhld(ctx2))
 
         # context1: stream2 queries attend stream1 keys/values (ref :786-802)
         ctx1 = attention_core(split_heads(q2, h), split_heads(k1, h),
@@ -106,13 +109,13 @@ class ConnectionLayer(nn.Module):
         s1 = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
                       name="bi_dense1")(ctx2)
         if not deterministic and vdrop > 0:
-            s1 = nn.Dropout(vdrop)(s1, deterministic=False)
+            s1 = dropout(self, s1, vdrop, deterministic=False)
         s1 = LayerNorm(dtype=dtype, name="bi_LayerNorm1")(s1 + x1)
 
         s2 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
                       name="bi_dense2")(ctx1)
         if not deterministic and tdrop > 0:
-            s2 = nn.Dropout(tdrop)(s2, deterministic=False)
+            s2 = dropout(self, s2, tdrop, deterministic=False)
         s2 = LayerNorm(dtype=dtype, name="bi_LayerNorm2")(s2 + x2)
 
         # stream1 FFN (image-sized, ref :1065-1066)
@@ -122,7 +125,7 @@ class ConnectionLayer(nn.Module):
         h1 = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
                       name="v_output")(h1)
         if not deterministic and vdrop > 0:
-            h1 = nn.Dropout(vdrop)(h1, deterministic=False)
+            h1 = dropout(self, h1, vdrop, deterministic=False)
         out1 = LayerNorm(dtype=dtype, name="v_output_LayerNorm")(h1 + s1)
 
         # stream2 FFN (text-sized, ref :1068-1069)
@@ -132,7 +135,7 @@ class ConnectionLayer(nn.Module):
         h2 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
                       name="t_output")(h2)
         if not deterministic and tdrop > 0:
-            h2 = nn.Dropout(tdrop)(h2, deterministic=False)
+            h2 = dropout(self, h2, tdrop, deterministic=False)
         out2 = LayerNorm(dtype=dtype, name="t_output_LayerNorm")(h2 + s2)
 
         return out1, out2
@@ -162,13 +165,13 @@ class ConnectionLayerTwoText(nn.Module):
         s1 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
                       name="bi_dense1")(ctx2)
         if not deterministic and vdrop > 0:
-            s1 = nn.Dropout(vdrop)(s1, deterministic=False)
+            s1 = dropout(self, s1, vdrop, deterministic=False)
         s1 = LayerNorm(dtype=dtype, name="bi_LayerNorm1")(s1 + x1)
 
         s2 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
                       name="bi_dense2")(ctx1)
         if not deterministic and tdrop > 0:
-            s2 = nn.Dropout(tdrop)(s2, deterministic=False)
+            s2 = dropout(self, s2, tdrop, deterministic=False)
         s2 = LayerNorm(dtype=dtype, name="bi_LayerNorm2")(s2 + x2)
 
         h1 = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
@@ -177,7 +180,7 @@ class ConnectionLayerTwoText(nn.Module):
         h1 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
                       name="v_output")(h1)
         if not deterministic and tdrop > 0:
-            h1 = nn.Dropout(tdrop)(h1, deterministic=False)
+            h1 = dropout(self, h1, tdrop, deterministic=False)
         out1 = LayerNorm(dtype=dtype, name="v_output_LayerNorm")(h1 + s1)
 
         h2 = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
@@ -186,7 +189,7 @@ class ConnectionLayerTwoText(nn.Module):
         h2 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
                       name="t_output")(h2)
         if not deterministic and tdrop > 0:
-            h2 = nn.Dropout(tdrop)(h2, deterministic=False)
+            h2 = dropout(self, h2, tdrop, deterministic=False)
         out2 = LayerNorm(dtype=dtype, name="t_output_LayerNorm")(h2 + s2)
 
         return out1, out2
