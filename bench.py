@@ -47,14 +47,21 @@ def bench_jax() -> float:
     from k3m_tpu.train import mesh as mesh_lib
     from k3m_tpu.train.pretrain_loop import PretrainTrainer
 
+    # Fastest semantically-faithful configuration: in-step microbatching
+    # (the reference's own gradient-accumulation normalization,
+    # train_concap_struc.py:561-575) lets per-layer remat turn off within
+    # 16 GB HBM — measured 154 vs 136 samples/s/chip at batch 96 on v5e.
+    micro = int(os.environ.get("K3M_BENCH_MICRO", "3"))
     cfg = K3MConfig().replace(
         dtype="bfloat16",
+        remat=(micro <= 1),
         use_pallas=bool(int(os.environ.get("K3M_BENCH_PALLAS", "0"))))
     n_chips = len(jax.devices())
     batch = make_batch(cfg, BATCH * n_chips)
     trainer = PretrainTrainer(
         cfg, learning_rate=1e-4, warmup_steps=10, total_steps=1000,
-        sample_batch=batch, mesh=mesh_lib.make_mesh(n_model=1))
+        sample_batch=batch, micro_steps=micro,
+        mesh=mesh_lib.make_mesh(n_model=1))
     # stage the batch on device ONCE: this measures the train step itself.
     # (In training, per-step H2D overlaps with compute via async dispatch;
     # in this environment the chip sits behind a network tunnel, so an

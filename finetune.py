@@ -91,8 +91,9 @@ def get_parser():
 
 
 def main(argv=None):
-    from k3m_tpu.utils.jax_setup import setup_jax
+    from k3m_tpu.utils.jax_setup import maybe_init_distributed, setup_jax
     setup_jax()
+    proc_id, n_procs = maybe_init_distributed()
     args = get_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -133,10 +134,13 @@ def main(argv=None):
         path = os.path.join(args.data_dir, name)
         if not os.path.exists(path):
             return None
+        # per-host batch split + disjoint shard (ref worker split :120-155)
+        batch_size = max(batch_size // n_procs, 1)
         return AlignmentLoader(path, tokenizer, shapes, batch_size=batch_size,
                                shuffle=shuffle, seed=args.seed,
                                visual_target=args.visual_target,
                                drop_last=drop_last,
+                               num_shards=n_procs, shard_index=proc_id,
                                prefetch=min(16, max(2, args.cache // max(batch_size, 1))))
 
     train_loader = loader(args.file_train, args.train_batch_size, True)

