@@ -34,10 +34,15 @@ if variant == "nodrop":
                       v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0)
 if variant == "pallas":
     cfg = cfg.replace(use_pallas=True)
+MICRO = 1
+if variant.startswith("micro"):
+    MICRO = int(variant[5:] or 3)
+    cfg = cfg.replace(remat=False)
 
 batch = _make_batch(cfg, B=BATCH, L=50, Lpv=256, R=36, P=30)
 trainer = PretrainTrainer(cfg, learning_rate=1e-4, warmup_steps=10,
                           total_steps=1000, sample_batch=batch,
+                          micro_steps=MICRO,
                           mesh=mesh_lib.make_mesh(n_model=1))
 db = mesh_lib.shard_batch(device_batch(batch), trainer.mesh)
 

@@ -333,3 +333,167 @@ def resize_word_embeddings(params, new_vocab_size: int, seed: int = 0,
             node = node.setdefault(k, {})
         node[keys[-1]] = value
     return result
+
+
+# ------------------------------------------------- flax -> torch export
+
+class _Sym:
+    """Symbolic stand-in for a weight array: records its torch name and
+    whether reference_to_flat transposed it."""
+    __slots__ = ("name", "transposed")
+
+    def __init__(self, name: str, transposed: bool = False):
+        self.name = name
+        self.transposed = transposed
+
+    @property
+    def T(self) -> "_Sym":
+        return _Sym(self.name, not self.transposed)
+
+
+def _torch_name_universe(max_layers: int = 48) -> list:
+    """Every torch parameter name reference_to_flat can consume (with
+    generous layer-count bounds; unmatched names are simply dropped when
+    inverting against an actual flax tree)."""
+    def lin(base):
+        return [base + ".weight", base + ".bias"]
+
+    U = ["embeddings.word_embeddings.weight",
+         "embeddings.position_embeddings.weight",
+         "embeddings.token_type_embeddings.weight"]
+    U += lin("embeddings.LayerNorm")
+    U += lin("v_embeddings.image_embeddings")
+    U += lin("v_embeddings.image_location_embeddings")
+    U += lin("v_embeddings.LayerNorm")
+    for i in range(max_layers):
+        for stack, projs in (
+                (f"encoder.layer.{i}", ("query", "key", "value")),
+                (f"encoder.v_layer.{i}",
+                 ("query", "key", "value", "dyLinear_q", "dyLinear_k"))):
+            for p in projs:
+                U += lin(f"{stack}.attention.self.{p}")
+            U += lin(f"{stack}.attention.output.dense")
+            U += lin(f"{stack}.attention.output.LayerNorm")
+            U += lin(f"{stack}.intermediate.dense")
+            U += lin(f"{stack}.output.dense")
+            U += lin(f"{stack}.output.LayerNorm")
+        for stack in ("c_layer", "c_layer_pv_v", "c_layer_pv_t"):
+            t = f"encoder.{stack}.{i}"
+            for p in ("query1", "key1", "value1", "query2", "key2", "value2"):
+                U += lin(f"{t}.biattention.{p}")
+            U += lin(f"{t}.biOutput.dense1") + lin(f"{t}.biOutput.LayerNorm1")
+            U += lin(f"{t}.biOutput.dense2") + lin(f"{t}.biOutput.LayerNorm2")
+            for part in ("v_intermediate", "v_output", "t_intermediate",
+                         "t_output"):
+                U += lin(f"{t}.{part}.dense")
+            U += lin(f"{t}.v_output.LayerNorm") + lin(f"{t}.t_output.LayerNorm")
+    for mod in ("v", "t", "pv"):
+        for score in ("score_self", "score_cross1", "score_cross2", "soft"):
+            U += lin(f"{score}_{mod}")
+    U += lin("map_bi_to_individual")
+    for w in ("struc_w1", "struc_w2", "struc_w3"):
+        U += lin(w)
+    U += lin("cls.predictions.transform.dense")
+    U += lin("cls.predictions.transform.LayerNorm")
+    U += ["cls.predictions.bias"]
+    U += lin("cls.seq_relationship")
+    U += lin("cls.imagePredictions.transform.dense")
+    U += lin("cls.imagePredictions.transform.LayerNorm")
+    U += lin("cls.imagePredictions.decoder")
+    U += lin("classifier.dense") + lin("classifier.out_proj")
+    return U
+
+
+_TRUNK_TORCH_PREFIXES = ("embeddings.", "encoder.", "v_embeddings.")
+
+
+def flat_to_reference(flat: Dict[str, np.ndarray], trunk: str = "trunk",
+                      bert_prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of reference_to_flat: '/'-joined flax paths -> the reference
+    torch state-dict names (save_pretrained parity, vilbert_k3m/utils.py:864
+    + per-epoch .bin saves, train_concap_struc.py:691-705).
+
+    Derived by running reference_to_flat over a SYMBOLIC state dict, so the
+    two mappings cannot drift apart. The reference tri model holds
+    embeddings/encoder/heads as TOP-LEVEL modules (its .bin checkpoints use
+    bare names), so the default prefix is "" — pass bert_prefix="bert." to
+    emit HF-style names instead. Kernels are transposed back to torch
+    [out, in]; the tied MLM decoder is additionally emitted under its own
+    key, like torch state_dict does for tied weights."""
+    sym_sd = {n: _Sym(n) for n in _torch_name_universe()}
+    mapping = reference_to_flat(sym_sd, trunk=trunk)   # flax path -> _Sym
+    out: Dict[str, np.ndarray] = {}
+    unmapped = []
+    for path, value in flat.items():
+        sym = mapping.get(path)
+        if sym is None:
+            unmapped.append(path)
+            continue
+        arr = np.asarray(value, np.float32)
+        if sym.transposed:
+            arr = arr.T
+        name = sym.name
+        if name.startswith(_TRUNK_TORCH_PREFIXES):
+            name = bert_prefix + name
+        out[name] = arr
+    if unmapped:
+        logger.info("flat_to_reference: %d flax-only params not exported "
+                    "(e.g. %s)", len(unmapped), unmapped[:3])
+    # torch state_dict materializes the TIED MLM decoder under its own key
+    # as well (tie_weights, ref :2266-2272) — emit the alias so a strict
+    # load_state_dict on the reference model finds it
+    emb = out.get(bert_prefix + "embeddings.word_embeddings.weight")
+    if emb is not None and "cls.predictions.transform.dense.weight" in out:
+        out["cls.predictions.decoder.weight"] = emb
+    return out
+
+
+def save_reference_checkpoint(params, path: str,
+                              bert_prefix: str = "") -> int:
+    """Export a flax param tree as a reference-compatible torch .bin
+    (the reference's per-epoch `torch.save(model.state_dict(), ...)`,
+    train_concap_struc.py:691-705). Returns the tensor count written."""
+    import torch
+
+    tree = params.get("params", params) if isinstance(params, dict) else params
+    flat = _flatten(tree)
+    sd = flat_to_reference(flat, bert_prefix=bert_prefix)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)
+    logger.info("exported %d tensors -> %s", len(sd), path)
+    return len(sd)
+
+
+def _cli(argv=None):
+    """Checkpoint conversion CLI.
+
+    import: torch .bin / TF checkpoint -> flax msgpack params
+            (needs --config to build the param template)
+    export: flax msgpack params (save_params_msgpack format, raw tree)
+            -> reference-compatible torch .bin
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="python -m k3m_tpu.train.convert")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    ex = sub.add_parser("export", help="flax msgpack -> reference torch .bin")
+    ex.add_argument("--params", required=True,
+                    help="msgpack file written by save_params_msgpack")
+    ex.add_argument("--out", required=True, help="output pytorch_model.bin")
+    ex.add_argument("--bert_prefix", default="",
+                    help='"" for K3M tri-model names (default), '
+                         '"bert." for HF-style')
+    args = ap.parse_args(argv)
+
+    if args.cmd == "export":
+        from flax import serialization
+        with open(args.params, "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+        n = save_reference_checkpoint(tree, args.out,
+                                      bert_prefix=args.bert_prefix)
+        print(f"exported {n} tensors -> {args.out}")
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    _cli()

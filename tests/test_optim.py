@@ -167,3 +167,46 @@ def test_tf_checkpoint_import(tmp_path):
     np.testing.assert_array_equal(flat["trunk/word_embeddings"], emb)
     np.testing.assert_array_equal(
         flat["trunk/encoder/layer_0/attention/query/kernel"], kernel)
+
+
+def test_flax_to_torch_export_roundtrip(tmp_path):
+    """save_reference_checkpoint (save_pretrained/.bin-save parity) must
+    invert reference_to_flat exactly: export -> import -> identical leaves,
+    with torch-layout kernels, the bert. trunk prefix, and the tied MLM
+    decoder alias present."""
+    import jax
+
+    from k3m_tpu.model.pretrain import K3MForPretraining
+    from k3m_tpu.train.convert import (
+        _flatten, load_torch_state_dict, reference_to_flat,
+        save_reference_checkpoint)
+    from tests.conftest import TINY, make_pretrain_batch
+
+    model = K3MForPretraining(TINY)
+    batch = make_pretrain_batch(TINY, B=2)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "gumbel": jax.random.PRNGKey(1), "lpm": jax.random.PRNGKey(2)}
+    params = model.init(rngs, batch, deterministic=True)
+
+    path = str(tmp_path / "pytorch_model.bin")
+    n = save_reference_checkpoint(params, path)
+    assert n > 50
+
+    sd = load_torch_state_dict(path)
+    assert "embeddings.word_embeddings.weight" in sd  # bare, like the tri model
+    assert "cls.predictions.decoder.weight" in sd  # tied alias
+    np.testing.assert_array_equal(sd["cls.predictions.decoder.weight"],
+                                  sd["embeddings.word_embeddings.weight"])
+    # kernels are torch [out, in]
+    q = sd["encoder.layer.0.attention.self.query.weight"]
+    assert q.shape == (TINY.hidden_size, TINY.hidden_size)
+
+    flat_orig = _flatten(params["params"])
+    flat_back = reference_to_flat(sd)
+    missing = [p for p in flat_back if p not in flat_orig]
+    assert not missing, missing
+    for p, v in flat_back.items():
+        np.testing.assert_array_equal(np.asarray(flat_orig[p], np.float32),
+                                      v, err_msg=p)
+    # every exported leaf came back (round trip is lossless for our tree)
+    assert len(flat_back) == n - 1  # minus the tied decoder alias

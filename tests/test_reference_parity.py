@@ -205,3 +205,45 @@ def test_pretrain_loss_parity_vs_reference():
                                c_init_t.numpy(), atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out_j["c_final"]),
                                c_final_t.numpy(), atol=1e-4, rtol=1e-3)
+
+
+def test_export_loads_into_reference_model():
+    """flat_to_reference export must load into the ACTUAL reference torch
+    model: every missing key is a documented-dead parameter (poolers,
+    q_dense*, map_individual_to_bi, gradvq placeholders), and no exported
+    key is unexpected."""
+    ref = _shim_and_import()
+    torch.manual_seed(0)
+    model_t = ref.BertForMultiModalPreTraining_tri_stru(
+        ref.BertConfig.from_dict(TINY_DICT))
+
+    import jax
+    from k3m_tpu.config import K3MConfig
+    from k3m_tpu.model.pretrain import K3MForPretraining
+    from k3m_tpu.train.convert import flat_to_reference, _flatten
+
+    cfg_j = K3MConfig.from_dict(TINY_DICT)
+    model_j = K3MForPretraining(cfg_j)
+    rng = np.random.default_rng(0)
+    jb = {k: np.asarray(v, np.int32) if v.dtype == np.int64 else v
+          for k, v in _batch(rng).items()}
+    params = jax.jit(lambda: model_j.init(
+        {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1),
+         "lpm": jax.random.PRNGKey(2)}, jb, deterministic=True))()
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in flat_to_reference(_flatten(params["params"])).items()}
+    result = model_t.load_state_dict(sd, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    # DEAD: reference-side parameters that are either dead code (poolers,
+    # q_dense*, map_individual_to_bi — see model docstrings) or created
+    # unconditionally by the reference but lazily by our fusion module, so
+    # they don't exist under this config's strategy (if_pre_sampling=0
+    # uses no score/soft projections; they stay at init on the reference
+    # side and are unused in its forward too).
+    DEAD = ("t_pooler", "v_pooler", "q_dense", "map_individual_to_bi",
+            "bi_seq_relationship", "vis_criterion",
+            "score_self", "score_cross", "soft_")
+    unexplained = [k for k in result.missing_keys
+                   if not any(d in k for d in DEAD)]
+    assert not unexplained, unexplained
