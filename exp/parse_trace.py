@@ -1,6 +1,7 @@
 """Parse a captured xplane.pb and print top ops by device time.
 
-Usage: python exp/parse_trace.py [trace_dir] [topk]
+Usage: python exp/parse_trace.py [trace_dir] [topk] [nsteps]
+(nsteps = traced step count, used only to normalize to ms/step)
 """
 import glob
 import sys
@@ -21,12 +22,13 @@ for p in paths:
     xs = xplane_pb2.XSpace()
     xs.ParseFromString(open(p, "rb").read())
     for plane in xs.planes:
-        if not (plane.name.startswith("/device:TPU:")
-                or "TPU" in plane.name and "host" not in plane.name.lower()):
+        if not plane.name.startswith("/device:TPU:"):
             continue
         ev_meta = {mid: m.name for mid, m in plane.event_metadata.items()}
-        for line in xs_lines if False else plane.lines:
-            if "xla ops" not in line.name.lower():
+        for line in plane.lines:
+            # exactly the synchronous compute line — "Async XLA Ops" spans
+            # overlap compute and would double-count
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")

@@ -66,7 +66,8 @@ class _LoaderBase:
         self.shard_index = shard_index
 
     def __len__(self) -> int:
-        n = len(range(self.shard_index, self.num_dataset, self.num_shards))
+        n = (self.num_dataset // self.num_shards if self.num_shards > 1
+             else self.num_dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _indices(self) -> np.ndarray:
@@ -74,7 +75,12 @@ class _LoaderBase:
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch, 1)).shuffle(idx)
         if self.num_shards > 1:
+            # every shard truncated to the same length (num_dataset //
+            # num_shards): hosts must dispatch identical step counts or the
+            # last collective deadlocks — the DistributedSampler
+            # equal-length contract
             idx = idx[self.shard_index::self.num_shards]
+            idx = idx[:self.num_dataset // self.num_shards]
         return idx
 
     def _sample_rng(self, i: int) -> np.random.Generator:

@@ -78,28 +78,35 @@ def parse_item_info_jsonl(path: str, segment_jieba: bool = True
                        item_image_name=jd.get("item_image_name", ""))
 
 
+def _feature_record(item: Dict, det: Optional[Dict]) -> Dict:
+    """One output record from (raw item, detection-or-None) — the single
+    source of the record schema for both the per-image and batched paths
+    (zero-box placeholder when no detection, ref data_prepare.py:360-366)."""
+    rec = dict(item_id=item["item_id"], title=item["title"],
+               pv=item["pv"], category=item["category"],
+               image_h=0, image_w=0, num_boxes=0,
+               boxes=np.zeros((0, 4), np.float32),
+               features=np.zeros((0, 2048), np.float32),
+               cls_prob=np.zeros((0, 1601), np.float32))
+    if det is not None:
+        rec.update(image_h=int(det["image_h"]),
+                   image_w=int(det["image_w"]),
+                   num_boxes=int(det["num_boxes"]),
+                   boxes=np.asarray(det["boxes"], np.float32),
+                   features=np.asarray(det["features"], np.float32),
+                   cls_prob=np.asarray(det["cls_prob"], np.float32))
+    return rec
+
+
 def build_feature_records(
         raw: Iterator[Dict],
         extractor: Optional[Callable[[str], Optional[Dict]]] = None,
         image_dir: Optional[str] = None) -> Iterator[Dict]:
     """Attach RoI features (or the zero-box placeholder) to each raw item."""
     for item in raw:
-        rec = dict(item_id=item["item_id"], title=item["title"],
-                   pv=item["pv"], category=item["category"],
-                   image_h=0, image_w=0, num_boxes=0,
-                   boxes=np.zeros((0, 4), np.float32),
-                   features=np.zeros((0, 2048), np.float32),
-                   cls_prob=np.zeros((0, 1601), np.float32))
-        if extractor is not None and image_dir is not None:
-            det = extractor(item)
-            if det is not None:
-                rec.update(image_h=int(det["image_h"]),
-                           image_w=int(det["image_w"]),
-                           num_boxes=int(det["num_boxes"]),
-                           boxes=np.asarray(det["boxes"], np.float32),
-                           features=np.asarray(det["features"], np.float32),
-                           cls_prob=np.asarray(det["cls_prob"], np.float32))
-        yield rec
+        det = (extractor(item)
+               if extractor is not None and image_dir is not None else None)
+        yield _feature_record(item, det)
 
 
 def build_feature_records_batched(raw: Iterator[Dict], batch_extractor,
@@ -107,20 +114,7 @@ def build_feature_records_batched(raw: Iterator[Dict], batch_extractor,
     """Like build_feature_records but drives a BatchedExtractor: one device
     round trip per image batch instead of per image."""
     for item, det in batch_extractor.map(raw, image_dir=image_dir):
-        rec = dict(item_id=item["item_id"], title=item["title"],
-                   pv=item["pv"], category=item["category"],
-                   image_h=0, image_w=0, num_boxes=0,
-                   boxes=np.zeros((0, 4), np.float32),
-                   features=np.zeros((0, 2048), np.float32),
-                   cls_prob=np.zeros((0, 1601), np.float32))
-        if det is not None:
-            rec.update(image_h=int(det["image_h"]),
-                       image_w=int(det["image_w"]),
-                       num_boxes=int(det["num_boxes"]),
-                       boxes=np.asarray(det["boxes"], np.float32),
-                       features=np.asarray(det["features"], np.float32),
-                       cls_prob=np.asarray(det["cls_prob"], np.float32))
-        yield rec
+        yield _feature_record(item, det)
 
 
 def build_pair_records(pairs_jsonl: str, feature_record_path: str

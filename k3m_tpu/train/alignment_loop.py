@@ -32,6 +32,20 @@ def device_item(item: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return {k: item[k] for k in ITEM_KEYS if k in item}
 
 
+def _local_rows(x) -> np.ndarray:
+    """This host's rows of a ('data',)-sharded output (row order preserved).
+
+    On one host this is just device_get; on multi-host a global array's
+    remote shards aren't addressable, so fetch the local shards — they
+    correspond exactly to the rows this host's loader shard contributed.
+    Scalars (loss) pass through."""
+    if jax.process_count() == 1 or getattr(x, "ndim", 0) == 0:
+        return np.asarray(jax.device_get(x))
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def precision_recall_f1(labels: np.ndarray, preds: np.ndarray):
     tp = float(((preds == 1) & (labels == 1)).sum())
     fp = float(((preds == 1) & (labels == 0)).sum())
@@ -100,16 +114,26 @@ class AlignmentTrainer:
             return self.model.apply(params, label, i1, i2, deterministic=True)
         return jax.jit(step_fn)
 
+    def _shard(self, batch):
+        """Batch-shard (label, item1, item2) over the mesh — on multi-host,
+        assembles per-host slices into global arrays (shard_batch's
+        make_array_from_process_local_data path), same as the pretrain
+        trainer."""
+        return mesh_lib.shard_batch(
+            dict(label=batch["label"], item1=device_item(batch["item1"]),
+                 item2=device_item(batch["item2"])), self.mesh)
+
     def train_step(self, batch):
+        db = self._shard(batch)
         self.state, loss, probs = self._train_step(
-            self.state, batch["label"], device_item(batch["item1"]),
-            device_item(batch["item2"]))
+            self.state, db["label"], db["item1"], db["item2"])
         return loss, probs
 
     def eval_step(self, batch):
-        return self._eval_step(self.state.params, batch["label"],
-                               device_item(batch["item1"]),
-                               device_item(batch["item2"]))
+        db = self._shard(batch)
+        out = self._eval_step(self.state.params, db["label"],
+                              db["item1"], db["item2"])
+        return tuple(_local_rows(x) for x in out)
 
     # ------------------------------------------------------------ phases
 
@@ -146,6 +170,14 @@ class AlignmentTrainer:
             all_labels.append(np.asarray(batch["label"]))
         probs = np.concatenate(all_probs)
         labels = np.concatenate(all_labels).astype(int)
+        if jax.process_count() > 1:
+            # each host evaluated its loader shard; gather for the GLOBAL
+            # sweep (identical result on every host) — equal-length shards
+            # guarantee uniform gather shapes
+            from jax.experimental import multihost_utils
+            probs = np.concatenate(multihost_utils.process_allgather(probs))
+            labels = np.concatenate(
+                multihost_utils.process_allgather(labels)).astype(int)
         sweep = {}
         for threshold in np.arange(0.1, 1.0, 0.1):
             p, r, f1 = precision_recall_f1(labels, (probs >= threshold).astype(int))
@@ -156,7 +188,13 @@ class AlignmentTrainer:
 
     def predict(self, loader: Iterable, output_path: str,
                 threshold: float = 0.5, log_steps: int = 100):
-        """Embedding dump, format-compatible with ref :1119-1212."""
+        """Embedding dump, format-compatible with ref :1119-1212.
+
+        Multi-host: each host's loader shard is written to
+        `<output_path>.part<process_index>` (item ids are host-local
+        strings); concatenate the parts for the full jsonl."""
+        if jax.process_count() > 1:
+            output_path = f"{output_path}.part{jax.process_index()}"
         os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
         with open(output_path, "w", encoding="utf-8") as w:
             for step, batch in enumerate(loader):

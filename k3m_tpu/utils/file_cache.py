@@ -60,6 +60,7 @@ def _http_etag(url: str) -> str | None:
 def _http_get(url: str, temp_file) -> None:
     import requests
     req = requests.get(url, stream=True, timeout=60)
+    req.raise_for_status()   # never cache an error body as the weights file
     for chunk in req.iter_content(chunk_size=1 << 20):
         if chunk:
             temp_file.write(chunk)

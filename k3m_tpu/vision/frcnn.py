@@ -358,7 +358,9 @@ class BatchedExtractor:
                 for im in images:
                     try:
                         dets.append(None if im is None else
-                                    extract_rois(self.model, self.params, im))
+                                    extract_rois(self.model, self.params, im,
+                                                 self.min_size,
+                                                 self.max_size))
                     except Exception:
                         logger.exception("extraction failed")
                         dets.append(None)

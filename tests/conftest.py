@@ -13,6 +13,10 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# match production RNG (setup_jax defaults to the hardware-friendly "rbg"
+# generator): tests must exercise the same PRNG the drivers run
+jax.config.update("jax_default_prng_impl",
+                  os.environ.get("K3M_PRNG_IMPL", "rbg"))
 jax.config.update("jax_compilation_cache_dir", "/tmp/k3m_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

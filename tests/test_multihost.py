@@ -46,7 +46,10 @@ def test_sharded_loaders_are_disjoint_and_complete(tmp_path):
         ids = [b["item_id"][0] for b in ld]
         seen.append(set(ids))
         assert len(ld) == len(ids)
-    assert seen[0] | seen[1] | seen[2] == {f"i{i}" for i in range(13)}
+        # equal length per shard (13 // 3): hosts must run identical step
+        # counts or the final collective deadlocks
+        assert len(ids) == 13 // 3
+    assert len(seen[0] | seen[1] | seen[2]) == 3 * (13 // 3)
     assert not (seen[0] & seen[1]) and not (seen[1] & seen[2])
     # same seed -> identical permutation across "hosts": shard 0 of a fresh
     # loader reproduces itself
