@@ -95,3 +95,61 @@ print("DIST_OK", pid, n)
                          cwd=os.path.dirname(os.path.dirname(
                              os.path.abspath(__file__))))
     assert "DIST_OK 0 1" in out.stdout, out.stdout + out.stderr
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step(tmp_path):
+    """REAL multi-process training: two OS processes form a jax.distributed
+    world (4 virtual CPU devices each = 8-device global mesh), each loads
+    its disjoint loader shard, shard_batch assembles the global batch via
+    make_array_from_process_local_data, and one SPMD train step runs with
+    identical loss on both hosts."""
+    worker = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from k3m_tpu.utils.jax_setup import maybe_init_distributed
+pid, n = maybe_init_distributed()
+assert n == 2, (pid, n)
+import numpy as np
+from tests.conftest import TINY, make_pretrain_batch
+from k3m_tpu.train.pretrain_loop import PretrainTrainer, device_batch
+from k3m_tpu.train import mesh as mesh_lib
+
+GLOBAL_B = 16
+local = GLOBAL_B // n
+full = make_pretrain_batch(TINY, B=GLOBAL_B, seed=3)
+mine = {k: np.asarray(v)[pid * local:(pid + 1) * local]
+        for k, v in full.items()}
+# sample_batch only shapes the init; init draws are identical across hosts
+trainer = PretrainTrainer(TINY, learning_rate=1e-3, warmup_steps=0,
+                          total_steps=5, sample_batch=mine, seed=11)
+for _ in range(2):
+    m = trainer.train_step(mine)
+loss = float(jax.device_get(m["loss"]))
+assert np.isfinite(loss), loss
+print(f"HOST{pid} OK loss={loss:.6f}", flush=True)
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ,
+                   K3M_COORDINATOR_ADDRESS="localhost:12361",
+                   K3M_NUM_PROCESSES="2", K3M_PROCESS_ID=str(pid),
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", worker], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+    losses = []
+    for pid, out in enumerate(outs):
+        line = [l for l in out.splitlines() if l.startswith(f"HOST{pid} OK")]
+        assert line, out
+        losses.append(float(line[0].split("loss=")[1]))
+    # SPMD: the all-reduced loss must be bitwise-identical on both hosts
+    assert losses[0] == losses[1], losses
