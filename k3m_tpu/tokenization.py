@@ -91,12 +91,19 @@ class WordPieceTokenizer:
     def __init__(self, vocab_file: Optional[str] = None,
                  vocab_size: int = DEFAULT_VOCAB_SIZE,
                  do_lower_case: bool = True,
-                 max_chars_per_word: int = 100):
+                 max_chars_per_word: int = 100,
+                 char_fallback: Optional[bool] = None):
         if vocab_file is not None and os.path.exists(vocab_file):
             with open(vocab_file, encoding="utf-8") as f:
                 self.vocab_list = [line.rstrip("\n") for line in f]
+            # Real vocab: HF-exact WordPiece (whole token -> [UNK] when
+            # greedy matching fails), byte-identical to BertTokenizer.
+            self.char_fallback = bool(char_fallback) if char_fallback is not None else False
         else:
             self.vocab_list = build_synthetic_vocab(vocab_size)
+            # Synthetic vocab ships no '##' pieces; per-char fallback keeps
+            # ASCII words representable instead of collapsing to [UNK].
+            self.char_fallback = True if char_fallback is None else bool(char_fallback)
         self.vocab: Dict[str, int] = {t: i for i, t in enumerate(self.vocab_list)}
         self.do_lower_case = do_lower_case
         self.max_chars_per_word = max_chars_per_word
@@ -155,10 +162,18 @@ class WordPieceTokenizer:
     # ---------------------------------------------------------- wordpiece
 
     def _wordpiece(self, token: str) -> List[str]:
+        """Greedy longest-match-first WordPiece.
+
+        With `char_fallback=False` (any real vocab file) this is the exact
+        HF `WordpieceTokenizer.tokenize` algorithm: a token where matching
+        fails at any position becomes a single [UNK]
+        (verified byte-identical to transformers.BertTokenizer in
+        tests/test_tokenizer_hf_parity.py). With `char_fallback=True`
+        (synthetic vocab, which has no '##' pieces) unmatched positions
+        degrade to raw chars instead.
+        """
         if len(token) > self.max_chars_per_word:
             return [UNK_TOKEN]
-        if token in self.vocab:
-            return [token]
         pieces: List[str] = []
         start = 0
         while start < len(token):
@@ -173,8 +188,8 @@ class WordPieceTokenizer:
                     break
                 end -= 1
             if piece is None:
-                # synthetic vocab has no ## pieces: fall back to raw chars,
-                # unknown chars become [UNK]
+                if not self.char_fallback:
+                    return [UNK_TOKEN]  # HF: whole token is bad
                 ch = token[start]
                 pieces.append(ch if ch in self.vocab else UNK_TOKEN)
                 start += 1
