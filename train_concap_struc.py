@@ -154,7 +154,10 @@ def main(argv=None):
 
     config = resolve_config(args)
     with open(os.path.join(args.output_dir, "hyperparamter.txt"), "w") as f:
-        json.dump(vars(args), f, indent=2)  # ref :192-196
+        # ref :192-196 prints args, a blank line, then the model config
+        json.dump(vars(args), f, indent=2)
+        f.write("\n\n")
+        json.dump(config.to_dict(), f, indent=2)
 
     tokenizer = get_tokenizer(args.vocab_file, config.vocab_size)
     shapes = ShapeSpec(max_seq_len=args.max_seq_length,
