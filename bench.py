@@ -41,7 +41,26 @@ def make_batch(cfg, B):
     return _make_batch(cfg, B=B, L=SEQ_T, Lpv=SEQ_PV, R=REGIONS, P=NUM_PV)
 
 
-def bench_jax() -> float:
+# Peak bf16 matmul throughput per chip, by device_kind prefix. Used only
+# for the reported MFU estimate; unknown kinds report mfu=null.
+PEAK_BF16_FLOPS = [
+    ("TPU v6", 918e12),      # v6e (Trillium)
+    ("TPU v5p", 459e12),
+    ("TPU v5 lite", 197e12),  # v5e
+    ("TPU v5e", 197e12),
+    ("TPU v4", 275e12),
+]
+
+
+def peak_flops(device) -> "float | None":
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in PEAK_BF16_FLOPS:
+        if kind.startswith(prefix):
+            return peak
+    return None
+
+
+def bench_jax() -> dict:
     import jax
     from k3m_tpu.config import K3MConfig
     from k3m_tpu.train import mesh as mesh_lib
@@ -80,7 +99,24 @@ def bench_jax() -> float:
         jax.block_until_ready(m["loss"])
         dt = time.perf_counter() - t0
         rates.append((BATCH * n_chips * ITERS) / dt / n_chips)
-    return sorted(rates)[1]
+    value = sorted(rates)[1]
+
+    # MFU: XLA's own flop count for the compiled step (fwd+bwd+AdamW over
+    # batch*n_chips samples) against the chip's peak bf16 rate.
+    flops_per_step = mfu = None
+    try:
+        cost = (trainer._train_step.lower(trainer.state, db)
+                .compile().cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+        peak = peak_flops(jax.devices()[0])
+        if flops_per_step and peak:
+            steps_per_sec_per_chip = value / (BATCH)
+            mfu = (flops_per_step / n_chips) * steps_per_sec_per_chip / peak
+    except Exception as e:  # cost analysis is best-effort diagnostics
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+    return {"value": value, "flops_per_step": flops_per_step, "mfu": mfu}
 
 
 def measure_torch_reference_cpu() -> "float | None":
@@ -190,7 +226,8 @@ def load_baseline() -> float | None:
 def main():
     from k3m_tpu.utils.jax_setup import setup_jax
     setup_jax()
-    value = bench_jax()
+    res = bench_jax()
+    value = res["value"]
     baseline = load_baseline()
     baseline_kind = "file"
     if baseline is None and not os.environ.get("K3M_BENCH_SKIP_TORCH"):
@@ -208,6 +245,8 @@ def main():
         "value": round(value, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "flops_per_step": res["flops_per_step"],
+        "mfu": round(res["mfu"], 4) if res["mfu"] else None,
     }
     print(json.dumps(out))
 

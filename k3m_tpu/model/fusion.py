@@ -29,11 +29,17 @@ from k3m_tpu.config import K3MConfig
 from k3m_tpu.model.layers import compute_dtype, dense_init
 
 
-def gumbel_softmax_hard(logits: jnp.ndarray, rng, axis: int) -> jnp.ndarray:
+def gumbel_softmax_hard(logits: jnp.ndarray, rng, axis: int,
+                        noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Straight-through hard Gumbel-softmax, tau=1 (torch F.gumbel_softmax
-    with hard=True, ref :2364)."""
-    g = -jnp.log(-jnp.log(
-        jax.random.uniform(rng, logits.shape, minval=1e-20, maxval=1.0) + 1e-20))
+    with hard=True, ref :2364). `noise` optionally injects pre-drawn Gumbel
+    noise (parity replay of torch's global-generator draws)."""
+    if noise is not None:
+        g = noise.astype(jnp.float32)
+    else:
+        g = -jnp.log(-jnp.log(
+            jax.random.uniform(rng, logits.shape, minval=1e-20, maxval=1.0)
+            + 1e-20))
     y_soft = jax.nn.softmax((logits.astype(jnp.float32) + g), axis=axis)
     index = jnp.argmax(y_soft, axis=axis, keepdims=True)
     # one-hot by iota comparison — put_along_axis lowers to a sort-based
@@ -53,7 +59,8 @@ class ModalityFusion(nn.Module):
     modality: str  # 'v' | 't' | 'pv'
 
     @nn.compact
-    def __call__(self, individual, c1, c2, *, deterministic: bool):
+    def __call__(self, individual, c1, c2, *, deterministic: bool,
+                 gumbel_noise: Optional[jnp.ndarray] = None):
         cfg = self.config
         if individual is None:
             return None
@@ -87,8 +94,15 @@ class ModalityFusion(nn.Module):
             alphas.append(jax.nn.sigmoid(
                 d(f"score_cross2_{self.modality}")(feats))[..., None, :])
         ak = jnp.concatenate(alphas, axis=2)  # [B, L, n_opts, size]
-        if deterministic:
-            # eval: deterministic argmax selection (one-hot, no gumbel noise)
+        if gumbel_noise is not None:
+            # parity replay: torch F.gumbel_softmax samples even under
+            # model.eval() (ref :2364) — injected noise reproduces it
+            a_index = gumbel_softmax_hard(ak, None, axis=2,
+                                          noise=gumbel_noise)
+        elif deterministic:
+            # eval: deterministic argmax selection (one-hot, no gumbel
+            # noise). DOCUMENTED DEVIATION from torch, which still samples
+            # gumbel noise in eval mode; pass gumbel_noise to replay that.
             index = jnp.argmax(ak, axis=2, keepdims=True)
             iota = jax.lax.broadcasted_iota(jnp.int32, ak.shape, 2)
             a_index = (iota == index).astype(ak.dtype)
@@ -112,20 +126,25 @@ class FusionBlock(nn.Module):
     def __call__(self,
                  t_with_v, v_with_t, pv_with_v, v_with_pv, t_with_pv, pv_with_t,
                  individual_txt, individual_pv, individual_v,
-                 *, deterministic: bool) -> Tuple[Optional[jnp.ndarray], ...]:
+                 *, deterministic: bool,
+                 gumbel_noise=None) -> Tuple[Optional[jnp.ndarray], ...]:
         cfg = self.config
+        gn = gumbel_noise or {}
         num_modes = 3 if cfg.use_image else 2
         seq_v = None
         if cfg.use_image:
             seq_v = ModalityFusion(cfg, cfg.bi_hidden_size, num_modes, "v",
                                    name="fusion_v")(
-                individual_v, v_with_t, v_with_pv, deterministic=deterministic)
+                individual_v, v_with_t, v_with_pv, deterministic=deterministic,
+                gumbel_noise=gn.get("v"))
         seq_t = ModalityFusion(cfg, cfg.hidden_size, num_modes, "t",
                                name="fusion_t")(
-            individual_txt, t_with_v, t_with_pv, deterministic=deterministic)
+            individual_txt, t_with_v, t_with_pv, deterministic=deterministic,
+            gumbel_noise=gn.get("t"))
         seq_pv = ModalityFusion(cfg, cfg.hidden_size, num_modes, "pv",
                                 name="fusion_pv")(
-            individual_pv, pv_with_v, pv_with_t, deterministic=deterministic)
+            individual_pv, pv_with_v, pv_with_t, deterministic=deterministic,
+            gumbel_noise=gn.get("pv"))
 
         pooled_v = None
         if cfg.use_image:

@@ -173,8 +173,14 @@ class BertEmbeddings(nn.Module):
                               (cfg.type_vocab_size, cfg.hidden_size), jnp.float32)
         seq_len = input_ids.shape[1]
         pos_ids = jnp.arange(seq_len, dtype=jnp.int32)
-        if cfg.model == "roberta":
-            pos_ids = pos_ids + 2  # padding_idx(=1) + 1, ref :394-405
+        if cfg.model == "roberta" and cfg.fix_reference_bugs:
+            # RobertaEmbeddings passes position_ids offset by padding_idx+1=2
+            # (ref :394-405), but BertEmbeddings.forward RECOMPUTES
+            # position_ids = arange(seq_len) unconditionally (ref :362-367),
+            # silently discarding the offset — reference roberta therefore
+            # positions exactly like bert. Replicated; the intended offset
+            # applies only under fix_reference_bugs.
+            pos_ids = pos_ids + 2
         x = (word_embedding_table[input_ids] + pos_emb[pos_ids][None, :, :]
              + type_emb[token_type_ids])
         x = LayerNorm(dtype=dtype, name="LayerNorm")(x)

@@ -67,7 +67,7 @@ class K3MTrunk(nn.Module):
     def __call__(self, input_ids, image_feat, image_loc, token_type_ids,
                  attention_mask, image_attention_mask,
                  input_ids_pv, token_type_ids_pv, attention_mask_pv,
-                 *, deterministic: bool = True):
+                 *, deterministic: bool = True, gumbel_noise=None):
         cfg = self.config
         dtype = compute_dtype(cfg)
 
@@ -112,7 +112,8 @@ class K3MTrunk(nn.Module):
         seq_v, seq_t, seq_pv, pooled_v, pooled_t, pooled_pv = FusionBlock(
             cfg, name="fusion")(
             t_with_v, v_with_t, pv_with_v, v_with_pv, t_with_pv, pv_with_t,
-            txt_emb, pv_emb, img_emb, deterministic=deterministic)
+            txt_emb, pv_emb, img_emb, deterministic=deterministic,
+            gumbel_noise=gumbel_noise)
 
         if pooled_v is not None:
             c_initial = (pooled_v + pooled_t + pooled_pv) / 3.0  # ref :2723
@@ -127,11 +128,15 @@ class K3MTrunk(nn.Module):
 
 
 def masked_image_loss(cfg: K3MConfig, prediction_scores_v, image_label,
-                      image_target, rng: Optional[jax.Array] = None):
+                      image_target, rng: Optional[jax.Array] = None,
+                      neg_index: Optional[jnp.ndarray] = None):
     """visual_target-dependent masked-RoI loss (ref :2744-2813).
 
     `prediction_scores_v` must already exclude the global token ([:, 1:]).
     image_label: [B, R] with 1 = masked, -1 = unmasked.
+    `neg_index` optionally injects the NCE negative pool indices [B, R, N]
+    (flat into B*R) for parity replay of the reference's torch `.random_`
+    draws (ref :2769-2798); when given, the random draw is skipped.
     """
     image_target = jnp.asarray(image_target, jnp.float32)
     masked = (image_label == 1)
@@ -152,22 +157,25 @@ def masked_image_loss(cfg: K3MConfig, prediction_scores_v, image_label,
     # (ref :2761-2813). The reference gathers only masked rows with dynamic
     # shapes; here all rows are scored and the loss is masked-averaged.
     B, R, H = prediction_scores_v.shape
-    num_neg = cfg.num_negative_image
-    n_across = int(num_neg * 0.7)
-    n_inside = int(num_neg * 0.3)
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-    r1, r2, r3 = jax.random.split(rng, 3)
-    row_across = jax.random.randint(r1, (B, R, n_across), 0, max(B - 1, 1))
-    row_across = jnp.where(
-        row_across == jnp.arange(B)[:, None, None], B - 1, row_across)
-    col_across = jax.random.randint(r2, (B, R, n_across), 0, R)
-    across = row_across * R + col_across
-    col_inside = jax.random.randint(r3, (B, R, n_inside), 0, max(R - 1, 1))
-    col_inside = jnp.where(
-        col_inside == jnp.arange(R)[None, :, None], R - 1, col_inside)
-    inside = jnp.arange(B)[:, None, None] * R + col_inside
-    neg_index = jnp.concatenate([across, inside], axis=2)       # [B, R, N]
+    if neg_index is None:
+        num_neg = cfg.num_negative_image
+        n_across = int(num_neg * 0.7)
+        n_inside = int(num_neg * 0.3)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        r1, r2, r3 = jax.random.split(rng, 3)
+        row_across = jax.random.randint(r1, (B, R, n_across), 0,
+                                        max(B - 1, 1))
+        row_across = jnp.where(
+            row_across == jnp.arange(B)[:, None, None], B - 1, row_across)
+        col_across = jax.random.randint(r2, (B, R, n_across), 0, R)
+        across = row_across * R + col_across
+        col_inside = jax.random.randint(r3, (B, R, n_inside), 0,
+                                        max(R - 1, 1))
+        col_inside = jnp.where(
+            col_inside == jnp.arange(R)[None, :, None], R - 1, col_inside)
+        inside = jnp.arange(B)[:, None, None] * R + col_inside
+        neg_index = jnp.concatenate([across, inside], axis=2)   # [B, R, N]
     flat_target = image_target.reshape(B * R, -1)
     negative = flat_target[neg_index]                           # [B, R, N, D]
     sample = jnp.concatenate([image_target[:, :, None, :], negative],
@@ -187,7 +195,9 @@ class K3MForPretraining(nn.Module):
     def __call__(self, batch: Dict[str, jnp.ndarray], *,
                  deterministic: bool = True,
                  neg_entity_idx: Optional[jnp.ndarray] = None,
-                 neg_value_idx: Optional[jnp.ndarray] = None):
+                 neg_value_idx: Optional[jnp.ndarray] = None,
+                 gumbel_noise=None,
+                 neg_image_idx: Optional[jnp.ndarray] = None):
         cfg = self.config
         trunk = K3MTrunk(cfg, name="trunk")
         out = trunk(
@@ -196,7 +206,7 @@ class K3MForPretraining(nn.Module):
             batch.get("image_mask"),
             batch["input_ids_pv"], batch.get("segment_ids_pv"),
             batch.get("input_mask_pv"),
-            deterministic=deterministic)
+            deterministic=deterministic, gumbel_noise=gumbel_noise)
 
         c_final, loss_struc = StructureAggregator(
             cfg, with_lpm=True, name="structure")(
@@ -220,7 +230,7 @@ class K3MForPretraining(nn.Module):
                 img_rng = self.make_rng("lpm")
             masked_img_loss = masked_image_loss(
                 cfg, scores_v[:, 1:], batch["image_label"],
-                batch["image_target"], img_rng)
+                batch["image_target"], img_rng, neg_index=neg_image_idx)
         else:
             masked_img_loss = jnp.zeros((), jnp.float32)
 
