@@ -23,8 +23,9 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
+from k3m_tpu.data.pipeline import collate_pairs, collate_pretrain
 from k3m_tpu.data.preprocess import (PairPreprocessor, PretrainPreprocessor,
-                                     ShapeSpec, add_global_image_token)
+                                     ShapeSpec)
 from k3m_tpu.data.records import pack_record, unpack_record
 from k3m_tpu.tokenization import WordPieceTokenizer
 
@@ -76,15 +77,29 @@ class ArrayRecordStore:
         pass
 
 
-class _PretrainMap(grain.RandomMapTransform if HAVE_GRAIN else object):
-    """Decode + BertPreprocessBatch-equivalent, seeded by Grain's per-record
-    rng (reproducible regardless of worker scheduling)."""
+class _PretrainMap:
+    """Decode + BertPreprocessBatch-equivalent.
 
-    def __init__(self, preprocessor):
+    Implemented as a raw Grain Operation (iterator of Records) rather than
+    a RandomMapTransform so it can see `metadata.record_key` BEFORE Grain
+    strips it: the per-sample rng is np.default_rng((seed, epoch,
+    record_index, 0)) — the EXACT stream PretrainLoader uses
+    (pipeline.py:_sample_rng), making batches from the two backends
+    byte-identical for the same records regardless of worker count or
+    scheduling (golden-tested in tests/test_grain_pipeline.py)."""
+
+    def __init__(self, preprocessor, seed: int, num_records: int):
         self._pre = preprocessor
+        self._seed = seed
+        self._n = num_records
 
-    def random_map(self, element, rng: np.random.Generator):
-        return self._pre(unpack_record(element), rng)
+    def __call__(self, input_iterator):
+        for rec in input_iterator:
+            epoch = rec.metadata.index // self._n
+            key = int(rec.metadata.record_key)
+            rng = np.random.default_rng((self._seed, epoch, key, 0))
+            data = self._pre(unpack_record(rec.data), rng)
+            yield grain.Record(rec.metadata.remove_record_key(), data)
 
 
 class _PairMap(grain.MapTransform if HAVE_GRAIN else object):
@@ -95,43 +110,15 @@ class _PairMap(grain.MapTransform if HAVE_GRAIN else object):
         return self._pre(unpack_record(element))
 
 
-class _Collate(grain.MapTransform if HAVE_GRAIN else object):
-    """Post-batch: global image token prepend (train-loader divide semantics,
-    ref concept_cap_dataset_struc.py:381-397)."""
-
-    def map(self, batch):
-        sum_count = (batch["masked_label"] == 0).sum(axis=1, keepdims=True)
-        sum_count[sum_count == 0] = 1
-        feat, loc, mask = add_global_image_token(
-            batch["image_feat"], batch["image_loc"], batch["image_mask"],
-            sum_count)
-        out = dict(batch)
-        out["image_feat"], out["image_loc"], out["image_mask"] = \
-            feat, loc, mask
-        return out
-
-
-class _CollatePair(grain.MapTransform if HAVE_GRAIN else object):
-    """Pair post-process: per-item global token divided by num_boxes
-    (ref post_process :272-294)."""
-
-    @staticmethod
-    def _item(d):
-        divisor = d.pop("num_boxes")[:, None].astype(np.float32)
-        feat, loc, mask = add_global_image_token(
-            d["image_feat"], d["image_loc"], d["image_mask"], divisor)
-        d["image_feat"], d["image_loc"], d["image_mask"] = feat, loc, mask
-        return d
-
-    def map(self, batch):
-        return dict(label=batch["label"].astype(np.float32),
-                    item1=self._item(dict(batch["item1"])),
-                    item2=self._item(dict(batch["item2"])))
-
-
-def _loader(path: str, transform, collate, batch_size: int, shuffle: bool,
-            seed: int, num_epochs: Optional[int], num_workers: int,
-            drop_last: bool):
+def _loader(path: str, transform, batch_size: int, shuffle: bool,
+            seed: int, num_epochs: Optional[int], num_workers: int):
+    """DataLoader yielding PER-SAMPLE dicts. Batching happens in the
+    parent (`_batched`), NOT inside a grain.Batch operation: Grain runs
+    operations per worker over round-robin record shards, so in-worker
+    batching would compose batches from every worker_count-th record —
+    batch contents would depend on worker count. The parent-side batcher
+    consumes Grain's deterministic order-restoring interleave, so batches
+    are identical to PretrainLoader's at ANY worker count."""
     source = grain.ArrayRecordDataSource(path)
     sampler = grain.IndexSampler(
         num_records=len(source),
@@ -140,10 +127,19 @@ def _loader(path: str, transform, collate, batch_size: int, shuffle: bool,
     return grain.DataLoader(
         data_source=source,
         sampler=sampler,
-        operations=[transform,
-                    grain.Batch(batch_size, drop_remainder=drop_last),
-                    collate],
+        operations=[transform],
         worker_count=num_workers)
+
+
+def _batched(sample_iter, batch_size: int, drop_last: bool, collate):
+    batch = []
+    for s in sample_iter:
+        batch.append(s)
+        if len(batch) == batch_size:
+            yield collate(batch)
+            batch = []
+    if batch and not drop_last:
+        yield collate(batch)
 
 
 class GrainPretrainLoader:
@@ -163,8 +159,9 @@ class GrainPretrainLoader:
         self.num_dataset = len(grain.ArrayRecordDataSource(path))
         self.batch_size = batch_size
         self.drop_last = drop_last
-        self._dl = _loader(path, _PretrainMap(pre), _Collate(), batch_size,
-                           shuffle, seed, num_epochs, num_workers, drop_last)
+        self._dl = _loader(path, _PretrainMap(pre, seed, self.num_dataset),
+                           batch_size, shuffle, seed, num_epochs,
+                           num_workers)
 
     def __len__(self) -> int:
         n = self.num_dataset
@@ -172,7 +169,8 @@ class GrainPretrainLoader:
                 else -(-n // self.batch_size))
 
     def __iter__(self):
-        return iter(self._dl)
+        return _batched(iter(self._dl), self.batch_size, self.drop_last,
+                        collate_pretrain)
 
 
 class GrainAlignmentLoader:
@@ -191,8 +189,8 @@ class GrainAlignmentLoader:
         self.num_dataset = len(grain.ArrayRecordDataSource(path))
         self.batch_size = batch_size
         self.drop_last = drop_last
-        self._dl = _loader(path, _PairMap(pre), _CollatePair(), batch_size,
-                           shuffle, seed, num_epochs, num_workers, drop_last)
+        self._dl = _loader(path, _PairMap(pre), batch_size,
+                           shuffle, seed, num_epochs, num_workers)
 
     def __len__(self) -> int:
         n = self.num_dataset
@@ -200,4 +198,5 @@ class GrainAlignmentLoader:
                 else -(-n // self.batch_size))
 
     def __iter__(self):
-        return iter(self._dl)
+        return _batched(iter(self._dl), self.batch_size, self.drop_last,
+                        collate_pairs)

@@ -33,6 +33,46 @@ def _stack(samples, key):
     return np.stack([s[key] for s in samples])
 
 
+def collate_pretrain(samples) -> Dict[str, np.ndarray]:
+    """Stack per-sample dicts into a pretrain batch and prepend the global
+    image token: divide by count of NOT-co-masked regions (ref :381-397),
+    min 1. Shared by PretrainLoader and GrainPretrainLoader so the two
+    backends batch identically."""
+    keys = [k for k in samples[0] if k != "item_id"]
+    batch = {k: _stack(samples, k) for k in keys}
+    batch["item_id"] = [s["item_id"] for s in samples]
+    sum_count = (batch["masked_label"] == 0).sum(axis=1, keepdims=True)
+    sum_count[sum_count == 0] = 1
+    feat, loc, mask = add_global_image_token(
+        batch["image_feat"], batch["image_loc"], batch["image_mask"],
+        sum_count)
+    batch["image_feat"], batch["image_loc"], batch["image_mask"] = \
+        feat, loc, mask
+    return batch
+
+
+def _collate_alignment_item(items) -> Dict[str, np.ndarray]:
+    keys = [k for k in items[0] if k != "item_id"]
+    d = {k: _stack(items, k) for k in keys}
+    d["item_id"] = [s["item_id"] for s in items]
+    # global image token divides by num_boxes (ref post_process :272-294)
+    divisor = d.pop("num_boxes")[:, None].astype(np.float32)
+    feat, loc, mask = add_global_image_token(
+        d["image_feat"], d["image_loc"], d["image_mask"], divisor)
+    d["image_feat"], d["image_loc"], d["image_mask"] = feat, loc, mask
+    return d
+
+
+def collate_pairs(samples) -> Dict:
+    """Pair-batch collate (K3MDataLoader semantics); shared by
+    AlignmentLoader and GrainAlignmentLoader."""
+    return dict(
+        label=np.stack([s["label"] for s in samples]).astype(np.float32),
+        item1=_collate_alignment_item([s["item1"] for s in samples]),
+        item2=_collate_alignment_item([s["item2"] for s in samples]),
+    )
+
+
 class _LoaderBase:
     def __init__(self, record_path: str, tokenizer: WordPieceTokenizer,
                  shapes: ShapeSpec, batch_size: int, shuffle: bool,
@@ -133,18 +173,7 @@ class PretrainLoader(_LoaderBase):
         return self.preprocessor(self.reader[i], self._sample_rng(i))
 
     def _collate(self, samples) -> Dict[str, np.ndarray]:
-        keys = [k for k in samples[0] if k != "item_id"]
-        batch = {k: _stack(samples, k) for k in keys}
-        batch["item_id"] = [s["item_id"] for s in samples]
-        # global image token: divide by count of NOT-co-masked regions
-        # (ref :381-397), min 1
-        sum_count = (batch["masked_label"] == 0).sum(axis=1, keepdims=True)
-        sum_count[sum_count == 0] = 1
-        feat, loc, mask = add_global_image_token(
-            batch["image_feat"], batch["image_loc"], batch["image_mask"],
-            sum_count)
-        batch["image_feat"], batch["image_loc"], batch["image_mask"] = feat, loc, mask
-        return batch
+        return collate_pretrain(samples)
 
 
 class AlignmentLoader(_LoaderBase):
@@ -162,21 +191,5 @@ class AlignmentLoader(_LoaderBase):
     def _map(self, i: int) -> Dict:
         return self.preprocessor(self.reader[i])
 
-    @staticmethod
-    def _collate_item(items) -> Dict[str, np.ndarray]:
-        keys = [k for k in items[0] if k != "item_id"]
-        d = {k: _stack(items, k) for k in keys}
-        d["item_id"] = [s["item_id"] for s in items]
-        # global image token divides by num_boxes (ref post_process :272-294)
-        divisor = d.pop("num_boxes")[:, None].astype(np.float32)
-        feat, loc, mask = add_global_image_token(
-            d["image_feat"], d["image_loc"], d["image_mask"], divisor)
-        d["image_feat"], d["image_loc"], d["image_mask"] = feat, loc, mask
-        return d
-
     def _collate(self, samples) -> Dict:
-        return dict(
-            label=np.stack([s["label"] for s in samples]).astype(np.float32),
-            item1=self._collate_item([s["item1"] for s in samples]),
-            item2=self._collate_item([s["item2"] for s in samples]),
-        )
+        return collate_pairs(samples)

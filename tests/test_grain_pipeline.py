@@ -54,6 +54,34 @@ def test_grain_pretrain_loader_batches(array_record_file):
     assert (np.asarray(b["lm_label_ids"]) != -1).sum() > 0
 
 
+@pytest.mark.parametrize("num_workers", [0, 2])
+def test_grain_batches_byte_identical_to_pretrain_loader(
+        array_record_file, num_workers):
+    """The Grain loader derives each sample's rng from (seed, epoch,
+    record_index, 0) — the exact PretrainLoader stream — so with
+    shuffle=False the two backends must produce BYTE-IDENTICAL batches,
+    masking included, at any worker count."""
+    from k3m_tpu.data.pipeline import PretrainLoader
+
+    tok = get_tokenizer()
+    kw = dict(batch_size=8, shuffle=False, seed=11)
+    ref_loader = PretrainLoader(array_record_file, tok, SHAPES, **kw)
+    g_loader = grain_pipeline.GrainPretrainLoader(
+        array_record_file, tok, SHAPES, num_epochs=1,
+        num_workers=num_workers, **kw)
+    ref_batches = list(iter(ref_loader))
+    g_batches = list(iter(g_loader))
+    assert len(ref_batches) == len(g_batches) == 3
+    for rb, gb in zip(ref_batches, g_batches):
+        assert set(rb) == set(gb)
+        for k in rb:
+            if k == "item_id":
+                assert [str(x) for x in rb[k]] == [str(x) for x in gb[k]]
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(rb[k]), np.asarray(gb[k]), err_msg=k)
+
+
 def test_grain_loader_feeds_k3mr_consumers(array_record_file):
     """The K3MR threaded loader must read .array_record files directly
     (extension dispatch), yielding the same batch schema."""
