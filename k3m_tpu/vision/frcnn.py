@@ -148,10 +148,20 @@ def resize_shortest_edge(image: np.ndarray, min_size=MIN_SIZE_TEST,
     preprocessing — keeps the resize off the accelerator so extraction costs
     ONE host->device transfer per image."""
     h, w = image.shape[:2]
-    scale = min_size / min(h, w)
-    if max(h, w) * scale > max_size:
-        scale = max_size / max(h, w)
-    nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+    # detectron2 ResizeShortestEdge.get_transform arithmetic, transcribed
+    # exactly: pin the short side to min_size, then rescale BOTH computed
+    # sides if the long side exceeds max_size (the two-step float product
+    # rounds differently from a single h*scale in ~1px edge cases).
+    scale = min_size * 1.0 / min(h, w)
+    if h < w:
+        nh, nw = min_size, scale * w
+    else:
+        nh, nw = scale * h, min_size
+    if max(nh, nw) > max_size:
+        scale = max_size * 1.0 / max(nh, nw)
+        nh = nh * scale
+        nw = nw * scale
+    nh, nw = int(nh + 0.5), int(nw + 0.5)
     try:
         import cv2
         return cv2.resize(image.astype(np.float32), (nw, nh),

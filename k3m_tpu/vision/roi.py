@@ -32,8 +32,9 @@ def _bilinear_sample(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
         xx = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
         return feat[yy, xx]
 
-    # zero out samples outside the map (detectron2 RoIAlign semantics)
-    inside = ((y > -1.0) & (y < H) & (x > -1.0) & (x < W))[..., None]
+    # zero out samples outside the map (detectron2 bilinear_interpolate:
+    # skips only y < -1 or y > height — the boundaries themselves sample)
+    inside = ((y >= -1.0) & (y <= H) & (x >= -1.0) & (x <= W))[..., None]
     out = (get(y0, x0) * (wy0 * wx0)[..., None]
            + get(y0, x1) * (wy0 * wx1)[..., None]
            + get(y1, x0) * (wy1 * wx0)[..., None]
@@ -74,31 +75,59 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
 @functools.partial(jax.jit, static_argnames=("output_size",))
 def roi_pool(feat: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
              output_size: int = 14) -> jnp.ndarray:
-    """Max RoIPool (caffe semantics): quantized bins, max over each bin.
-    Implemented as a dense max over a fixed sample grid per bin (adequate
-    for feature extraction; exact caffe quantization differs at bin edges).
-    """
-    b = boxes * spatial_scale
-    x1 = jnp.floor(b[:, 0])
-    y1 = jnp.floor(b[:, 1])
-    x2 = jnp.ceil(b[:, 2])
-    y2 = jnp.ceil(b[:, 3])
-    roi_w = jnp.maximum(x2 - x1, 1.0)
-    roi_h = jnp.maximum(y2 - y1, 1.0)
-    s = 4  # samples per bin axis
-    grid = (jnp.arange(output_size * s) + 0.5) / (output_size * s)
-    ys = y1[:, None] + grid[None, :] * roi_h[:, None]
-    xs = x1[:, None] + grid[None, :] * roi_w[:, None]
+    """Max RoIPool, EXACT caffe/torchvision quantized semantics (the pooler
+    of the reference's caffe-trained C4 head, data_prepare.py:203-209):
 
-    def per_roi(yv, xv):
-        yy = jnp.broadcast_to(yv[:, None], (output_size * s, output_size * s))
-        xx = jnp.broadcast_to(xv[None, :], (output_size * s, output_size * s))
-        H, W, C = feat.shape
-        yi = jnp.clip(jnp.floor(yy), 0, H - 1).astype(jnp.int32)
-        xi = jnp.clip(jnp.floor(xx), 0, W - 1).astype(jnp.int32)
-        samples = feat[yi, xi]                           # nearest neighbour
-        C = samples.shape[-1]
-        samples = samples.reshape(output_size, s, output_size, s, C)
-        return samples.max(axis=(1, 3))
+      x1q = round(x1*scale); x2q = round(x2*scale)
+      w = max(x2q - x1q + 1, 1); bin_w = w / P
+      wstart = clamp(floor(pw*bin_w) + x1q, 0, W)
+      wend   = clamp(ceil((pw+1)*bin_w) + x1q, 0, W)
+      out = max over the integer cells in the bin; empty bin -> 0
 
-    return jax.vmap(per_roi)(ys, xs)
+    Static shapes: every bin has at most K = ceil(W/P) + 2 cells per axis
+    (bin extent <= bin_w + 2 <= W/P + 2), so each bin reads a fixed KxK
+    cell window masked to [start, end).
+
+    The quantized coords are integers, so floor(p*h/P) / ceil(p*h/P) are
+    computed in EXACT int32 arithmetic ((p*h)//P) — the C++ does them in
+    fp32, whose rounding at exact-integer boundaries is
+    implementation-defined (and XLA's constant folding disagrees with
+    eager on those same boundaries); the integer form is the
+    real-arithmetic value both approximate."""
+    H, W, C = feat.shape
+    P = output_size
+    # std::round is half-away-from-zero; jnp.round is half-to-even. Coords
+    # are non-negative, so floor(v + 0.5) reproduces the C++ semantics.
+    b = jnp.floor(boxes * spatial_scale + 0.5).astype(jnp.int32)
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
+    p = jnp.arange(P, dtype=jnp.int32)
+    # [N, P] integer bin bounds in feature coords, clamped to the map
+    hstart = jnp.clip((p[None, :] * roi_h[:, None]) // P + y1[:, None], 0, H)
+    hend = jnp.clip(-((-(p[None, :] + 1) * roi_h[:, None]) // P)
+                    + y1[:, None], 0, H)
+    wstart = jnp.clip((p[None, :] * roi_w[:, None]) // P + x1[:, None], 0, W)
+    wend = jnp.clip(-((-(p[None, :] + 1) * roi_w[:, None]) // P)
+                    + x1[:, None], 0, W)
+    Ky = min(-(-H // P) + 2, H)
+    Kx = min(-(-W // P) + 2, W)
+
+    def per_roi(hs, he, ws, we):
+        # cell index grids [P, K] + validity masks
+        ky = jnp.arange(Ky, dtype=jnp.int32)
+        kx = jnp.arange(Kx, dtype=jnp.int32)
+        yy = hs[:, None] + ky[None, :]                    # [P, Ky]
+        xx = ws[:, None] + kx[None, :]                    # [P, Kx]
+        ym = yy < he[:, None]
+        xm = xx < we[:, None]
+        yi = jnp.clip(yy, 0, H - 1)
+        xi = jnp.clip(xx, 0, W - 1)
+        cells = feat[yi[:, :, None, None], xi[None, None, :, :]]  # [P,Ky,P,Kx,C]
+        mask = (ym[:, :, None, None] & xm[None, None, :, :])[..., None]
+        neg = jnp.asarray(-jnp.inf, feat.dtype)
+        pooled = jnp.where(mask, cells, neg).max(axis=(1, 3))     # [P, P, C]
+        # caffe: a bin with no cells pools to 0
+        return jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+
+    return jax.vmap(per_roi)(hstart, hend, wstart, wend)
