@@ -88,14 +88,16 @@ class _PretrainMap:
     byte-identical for the same records regardless of worker count or
     scheduling (golden-tested in tests/test_grain_pipeline.py)."""
 
-    def __init__(self, preprocessor, seed: int, num_records: int):
+    def __init__(self, preprocessor, seed: int, num_records: int,
+                 epoch_base: int = 0):
         self._pre = preprocessor
         self._seed = seed
         self._n = num_records
+        self._epoch_base = epoch_base
 
     def __call__(self, input_iterator):
         for rec in input_iterator:
-            epoch = rec.metadata.index // self._n
+            epoch = self._epoch_base + rec.metadata.index // self._n
             key = int(rec.metadata.record_key)
             rng = np.random.default_rng((self._seed, epoch, key, 0))
             data = self._pre(unpack_record(rec.data), rng)
@@ -111,24 +113,35 @@ class _PairMap(grain.MapTransform if HAVE_GRAIN else object):
 
 
 def _loader(path: str, transform, batch_size: int, shuffle: bool,
-            seed: int, num_epochs: Optional[int], num_workers: int):
-    """DataLoader yielding PER-SAMPLE dicts. Batching happens in the
-    parent (`_batched`), NOT inside a grain.Batch operation: Grain runs
+            seed: int, num_workers: int):
+    """One-EPOCH DataLoader yielding PER-SAMPLE dicts. Batching happens in
+    the parent (`_batched`), NOT inside a grain.Batch operation: Grain runs
     operations per worker over round-robin record shards, so in-worker
     batching would compose batches from every worker_count-th record —
     batch contents would depend on worker count. The parent-side batcher
     consumes Grain's deterministic order-restoring interleave, so batches
-    are identical to PretrainLoader's at ANY worker count."""
+    are identical to PretrainLoader's at ANY worker count.
+
+    Epochs are handled by the owning loader (a fresh DataLoader per
+    __iter__ with an epoch-mixed shuffle seed), mirroring
+    pipeline._LoaderBase's epoch counter — NOT by Grain's num_epochs,
+    whose single long iterator would restart from epoch 0 every time the
+    trainer re-enters `for batch in loader`."""
     source = grain.ArrayRecordDataSource(path)
     sampler = grain.IndexSampler(
         num_records=len(source),
         shard_options=grain.ShardByJaxProcess(drop_remainder=True),
-        shuffle=shuffle, num_epochs=num_epochs, seed=seed)
+        shuffle=shuffle, num_epochs=1, seed=seed)
     return grain.DataLoader(
         data_source=source,
         sampler=sampler,
         operations=[transform],
         worker_count=num_workers)
+
+
+def _epoch_seed(seed: int, epoch: int) -> int:
+    """Deterministic per-epoch shuffle seed (Grain seeds are plain ints)."""
+    return int(np.random.default_rng((seed, epoch, 1)).integers(2**31 - 1))
 
 
 def _batched(sample_iter, batch_size: int, drop_last: bool, collate):
@@ -153,15 +166,16 @@ class GrainPretrainLoader:
         if not HAVE_GRAIN:
             raise RuntimeError("grain/array_record not available")
         shapes = shapes or ShapeSpec()
-        pre = PretrainPreprocessor(tokenizer, shapes,
-                                   visual_target=visual_target)
+        self._pre = PretrainPreprocessor(tokenizer, shapes,
+                                         visual_target=visual_target)
         self._path = path
         self.num_dataset = len(grain.ArrayRecordDataSource(path))
         self.batch_size = batch_size
         self.drop_last = drop_last
-        self._dl = _loader(path, _PretrainMap(pre, seed, self.num_dataset),
-                           batch_size, shuffle, seed, num_epochs,
-                           num_workers)
+        self._shuffle = shuffle
+        self._seed = seed
+        self._workers = num_workers
+        self.epoch = 0   # bumped per full iteration, like _LoaderBase
 
     def __len__(self) -> int:
         n = self.num_dataset
@@ -169,8 +183,17 @@ class GrainPretrainLoader:
                 else -(-n // self.batch_size))
 
     def __iter__(self):
-        return _batched(iter(self._dl), self.batch_size, self.drop_last,
-                        collate_pretrain)
+        dl = _loader(
+            self._path,
+            _PretrainMap(self._pre, self._seed, self.num_dataset,
+                         epoch_base=self.epoch),
+            self.batch_size, self._shuffle,
+            _epoch_seed(self._seed, self.epoch) if self._shuffle
+            else self._seed,
+            self._workers)
+        yield from _batched(iter(dl), self.batch_size, self.drop_last,
+                            collate_pretrain)
+        self.epoch += 1
 
 
 class GrainAlignmentLoader:
@@ -185,12 +208,16 @@ class GrainAlignmentLoader:
         if not HAVE_GRAIN:
             raise RuntimeError("grain/array_record not available")
         shapes = shapes or ShapeSpec()
-        pre = PairPreprocessor(tokenizer, shapes, visual_target=visual_target)
+        self._pre = PairPreprocessor(tokenizer, shapes,
+                                     visual_target=visual_target)
+        self._path = path
         self.num_dataset = len(grain.ArrayRecordDataSource(path))
         self.batch_size = batch_size
         self.drop_last = drop_last
-        self._dl = _loader(path, _PairMap(pre), batch_size,
-                           shuffle, seed, num_epochs, num_workers)
+        self._shuffle = shuffle
+        self._seed = seed
+        self._workers = num_workers
+        self.epoch = 0
 
     def __len__(self) -> int:
         n = self.num_dataset
@@ -198,5 +225,11 @@ class GrainAlignmentLoader:
                 else -(-n // self.batch_size))
 
     def __iter__(self):
-        return _batched(iter(self._dl), self.batch_size, self.drop_last,
-                        collate_pairs)
+        dl = _loader(self._path, _PairMap(self._pre),
+                     self.batch_size, self._shuffle,
+                     _epoch_seed(self._seed, self.epoch) if self._shuffle
+                     else self._seed,
+                     self._workers)
+        yield from _batched(iter(dl), self.batch_size, self.drop_last,
+                            collate_pairs)
+        self.epoch += 1
