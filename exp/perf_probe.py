@@ -26,6 +26,19 @@ BATCH = int(os.environ.get("K3M_BATCH", 96))
 variant = sys.argv[1] if len(sys.argv) > 1 else "base"
 
 cfg = K3MConfig().replace(dtype="bfloat16")
+label_sfx = ""
+if variant.endswith("_noln"):
+    # disable the fused LayerNorm Pallas kernel (XLA LN path)
+    cfg = cfg.replace(use_pallas_ln=False)
+    variant = variant[:-len("_noln")]
+    label_sfx = "_noln"
+if variant.endswith("_pattn"):
+    # fused Pallas attention: recomputes probs in backward, so the
+    # [B,12,256,256] prob tensors are never saved — frees ~2 GB at micro1
+    cfg = cfg.replace(use_pallas=True)
+    variant = variant[:-len("_pattn")]
+    label_sfx = "_pattn" + label_sfx
+label = variant + label_sfx
 if variant == "nodrop":
     cfg = cfg.replace(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
                       v_hidden_dropout_prob=0.0, v_attention_probs_dropout_prob=0.0)
@@ -49,7 +62,7 @@ compiled = lowered.compile()
 try:
     ma = compiled.memory_analysis()
     print(json.dumps(dict(
-        variant=variant,
+        variant=label,
         argument_gb=ma.argument_size_in_bytes / 1e9,
         output_gb=ma.output_size_in_bytes / 1e9,
         temp_gb=ma.temp_size_in_bytes / 1e9,
@@ -77,4 +90,4 @@ for _ in range(N):
     state, m = compiled(state, db)
 jax.block_until_ready(m["loss"])
 dt = (time.perf_counter() - t0) / N
-print(json.dumps(dict(variant=variant, step_s=dt, samples_per_s=BATCH / dt)))
+print(json.dumps(dict(variant=label, step_s=dt, samples_per_s=BATCH / dt)))

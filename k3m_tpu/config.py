@@ -71,6 +71,8 @@ class K3MConfig:
     # --- TPU-native extensions (absent in the reference) ---
     dtype: str = "float32"        # compute dtype: "float32" | "bfloat16"
     use_pallas: bool = False      # fused Pallas attention kernels on TPU
+    use_pallas_ln: bool = True    # fused residual+LayerNorm Pallas kernel
+                                  # (TPU backends only; XLA path elsewhere)
     fix_reference_bugs: bool = False  # fix known reference bugs (cosine-probs, LPM sign)
     remat: bool = True            # per-layer rematerialization (activation
                                   # recompute in backward; HBM >> FLOPs here)

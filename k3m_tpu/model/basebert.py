@@ -56,7 +56,8 @@ class _BaseImageEmbeddings(nn.Module):
                               (cfg.type_vocab_size, cfg.v_hidden_size),
                               jnp.float32)
         x = x + loc + type_emb[1].astype(dtype)    # type id 1 for all RoIs
-        x = LayerNorm(dtype=dtype, name="LayerNorm")(x)
+        x = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                      name="LayerNorm")(x)
         if not deterministic and cfg.hidden_dropout_prob > 0:
             x = dropout(self, x, cfg.hidden_dropout_prob, deterministic=False)
         return x
@@ -122,7 +123,8 @@ class _HeadTransform(nn.Module):
         x = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg.initializer_range),
                      dtype=dtype, name="dense")(x)
         x = act_fn(cfg.hidden_act)(x)
-        return LayerNorm(dtype=dtype, name="LayerNorm")(x)
+        return LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                         name="LayerNorm")(x)
 
 
 class SingleStreamPreTrainingHeads(nn.Module):

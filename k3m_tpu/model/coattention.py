@@ -110,13 +110,15 @@ class ConnectionLayer(nn.Module):
                       name="bi_dense1")(ctx2)
         if not deterministic and vdrop > 0:
             s1 = dropout(self, s1, vdrop, deterministic=False)
-        s1 = LayerNorm(dtype=dtype, name="bi_LayerNorm1")(s1 + x1)
+        s1 = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                       name="bi_LayerNorm1")(s1, x1)
 
         s2 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
                       name="bi_dense2")(ctx1)
         if not deterministic and tdrop > 0:
             s2 = dropout(self, s2, tdrop, deterministic=False)
-        s2 = LayerNorm(dtype=dtype, name="bi_LayerNorm2")(s2 + x2)
+        s2 = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                       name="bi_LayerNorm2")(s2, x2)
 
         # stream1 FFN (image-sized, ref :1065-1066)
         h1 = nn.Dense(cfg.v_intermediate_size, kernel_init=init, dtype=dtype,
@@ -126,7 +128,8 @@ class ConnectionLayer(nn.Module):
                       name="v_output")(h1)
         if not deterministic and vdrop > 0:
             h1 = dropout(self, h1, vdrop, deterministic=False)
-        out1 = LayerNorm(dtype=dtype, name="v_output_LayerNorm")(h1 + s1)
+        out1 = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                         name="v_output_LayerNorm")(h1, s1)
 
         # stream2 FFN (text-sized, ref :1068-1069)
         h2 = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
@@ -136,7 +139,8 @@ class ConnectionLayer(nn.Module):
                       name="t_output")(h2)
         if not deterministic and tdrop > 0:
             h2 = dropout(self, h2, tdrop, deterministic=False)
-        out2 = LayerNorm(dtype=dtype, name="t_output_LayerNorm")(h2 + s2)
+        out2 = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                         name="t_output_LayerNorm")(h2, s2)
 
         return out1, out2
 
@@ -166,13 +170,15 @@ class ConnectionLayerTwoText(nn.Module):
                       name="bi_dense1")(ctx2)
         if not deterministic and vdrop > 0:
             s1 = dropout(self, s1, vdrop, deterministic=False)
-        s1 = LayerNorm(dtype=dtype, name="bi_LayerNorm1")(s1 + x1)
+        s1 = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                       name="bi_LayerNorm1")(s1, x1)
 
         s2 = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
                       name="bi_dense2")(ctx1)
         if not deterministic and tdrop > 0:
             s2 = dropout(self, s2, tdrop, deterministic=False)
-        s2 = LayerNorm(dtype=dtype, name="bi_LayerNorm2")(s2 + x2)
+        s2 = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                       name="bi_LayerNorm2")(s2, x2)
 
         h1 = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
                       name="v_intermediate")(s1)
@@ -181,7 +187,8 @@ class ConnectionLayerTwoText(nn.Module):
                       name="v_output")(h1)
         if not deterministic and tdrop > 0:
             h1 = dropout(self, h1, tdrop, deterministic=False)
-        out1 = LayerNorm(dtype=dtype, name="v_output_LayerNorm")(h1 + s1)
+        out1 = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                         name="v_output_LayerNorm")(h1, s1)
 
         h2 = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
                       name="t_intermediate")(s2)
@@ -190,6 +197,7 @@ class ConnectionLayerTwoText(nn.Module):
                       name="t_output")(h2)
         if not deterministic and tdrop > 0:
             h2 = dropout(self, h2, tdrop, deterministic=False)
-        out2 = LayerNorm(dtype=dtype, name="t_output_LayerNorm")(h2 + s2)
+        out2 = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                         name="t_output_LayerNorm")(h2, s2)
 
         return out1, out2

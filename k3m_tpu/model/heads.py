@@ -109,7 +109,8 @@ class LMPredictionHead(nn.Module):
         x = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
                      name="transform_dense")(hidden_states)
         x = act_fn(cfg.hidden_act)(x)
-        x = LayerNorm(dtype=dtype, name="transform_LayerNorm")(x)
+        x = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                      name="transform_LayerNorm")(x)
         bias = self.param("decoder_bias", nn.initializers.zeros,
                           (cfg.vocab_size,), jnp.float32)
         table = word_embedding_table.astype(dtype)
@@ -132,7 +133,8 @@ class ImagePredictionHead(nn.Module):
         x = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
                      name="transform_dense")(hidden_states)
         x = act_fn(cfg.hidden_act)(x)  # note: ref uses hidden_act here (:1806-1811)
-        x = LayerNorm(dtype=dtype, name="transform_LayerNorm")(x)
+        x = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                      name="transform_LayerNorm")(x)
         x = nn.Dense(cfg.v_target_size, kernel_init=init, dtype=dtype,
                      name="decoder")(x)
         return x.astype(jnp.float32)

