@@ -17,7 +17,10 @@ jax.config.update("jax_platforms", "cpu")
 # generator): tests must exercise the same PRNG the drivers run
 jax.config.update("jax_default_prng_impl",
                   os.environ.get("K3M_PRNG_IMPL", "rbg"))
-jax.config.update("jax_compilation_cache_dir", "/tmp/k3m_jax_cache")
+# home, not /tmp: /tmp is wiped between build rounds and a cold cache
+# roughly triples the suite's wall-clock on this 1-core host
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/k3m_jax_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
