@@ -30,7 +30,15 @@ _SCALAR_KEYS = ("is_next", "is_next_pv_v", "is_next_pv_t", "label", "num_boxes")
 
 
 def _stack(samples, key):
-    return np.stack([s[key] for s in samples])
+    # prealloc + row-assign, NOT np.stack: stacking 96 separately-allocated
+    # [36,2048] sample arrays via np.stack (= expand_dims + concatenate)
+    # measures ~124 ms on this host vs ~11 ms for block row-assigns; this
+    # is the producer's critical path at full batch rate
+    first = np.asarray(samples[0][key])
+    out = np.empty((len(samples),) + first.shape, first.dtype)
+    for j, s in enumerate(samples):
+        out[j] = s[key]
+    return out
 
 
 def collate_pretrain(samples) -> Dict[str, np.ndarray]:

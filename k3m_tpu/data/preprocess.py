@@ -318,10 +318,19 @@ def add_global_image_token(image_feat: np.ndarray, image_loc: np.ndarray,
     """Prepend the global image token: mean feature with loc [0,0,1,1,1]
     (train ref :381-397 divides by un-comasked count; finetune ref :272-294
     divides by num_boxes — the caller supplies `divisor` [B, 1])."""
-    B = image_feat.shape[0]
-    g_feat = image_feat.sum(axis=1) / divisor
-    feat = np.concatenate([g_feat[:, None, :], image_feat], axis=1).astype(np.float32)
-    g_loc = np.tile(np.array([[0, 0, 1, 1, 1]], np.float32), (B, 1))
-    loc = np.concatenate([g_loc[:, None, :], image_loc], axis=1).astype(np.float32)
-    mask = np.concatenate([np.ones((B, 1), image_mask.dtype), image_mask], axis=1)
+    B, R, D = image_feat.shape
+    # preallocate + slice-assign, NOT np.concatenate: numpy's axis-1 concat
+    # takes a generic-iterator path that measures ~14x slower than two block
+    # assigns on this host (94 ms vs 6.5 ms for the [96,37,2048] batch) —
+    # this function is on the producer's critical path at full batch rate
+    feat = np.empty((B, R + 1, D), np.float32)
+    np.sum(image_feat, axis=1, out=feat[:, 0])
+    feat[:, 0] /= divisor
+    feat[:, 1:] = image_feat
+    loc = np.empty((B, R + 1, image_loc.shape[-1]), np.float32)
+    loc[:, 0] = np.array([0, 0, 1, 1, 1], np.float32)
+    loc[:, 1:] = image_loc
+    mask = np.empty((B, R + 1), image_mask.dtype)
+    mask[:, 0] = 1
+    mask[:, 1:] = image_mask
     return feat, loc, mask
