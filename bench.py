@@ -69,8 +69,9 @@ def bench_jax() -> dict:
     # Fastest semantically-faithful configuration: in-step microbatching
     # (the reference's own gradient-accumulation normalization,
     # train_concap_struc.py:561-575) lets per-layer remat turn off within
-    # 16 GB HBM — measured 154 vs 136 samples/s/chip at batch 96 on v5e.
-    micro = int(os.environ.get("K3M_BENCH_MICRO", "3"))
+    # 16 GB HBM — measured 154 vs 136 samples/s/chip at batch 96 on v5e;
+    # micro_steps=4 measured 155.6 vs 151.1 at micro_steps=3 (r2 sweep).
+    micro = int(os.environ.get("K3M_BENCH_MICRO", "4"))
     cfg = K3MConfig().replace(
         dtype="bfloat16",
         remat=(micro <= 1),
@@ -89,14 +90,16 @@ def bench_jax() -> dict:
     db = mesh_lib.shard_batch(device_batch(batch), trainer.mesh)
     for _ in range(WARMUP):
         m = trainer.train_step(db)
-    jax.block_until_ready(m["loss"])
+    # device_get, NOT block_until_ready: over the axon tunnel the latter
+    # intermittently returns before remote completion (phantom ~10ms steps)
+    jax.device_get(m["loss"])
     # median of 3 windows — the tunneled chip shows run-to-run variance
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             m = trainer.train_step(db)
-        jax.block_until_ready(m["loss"])
+        jax.device_get(m["loss"])
         dt = time.perf_counter() - t0
         rates.append((BATCH * n_chips * ITERS) / dt / n_chips)
     value = sorted(rates)[1]

@@ -32,6 +32,11 @@ if variant.endswith("_noln"):
     cfg = cfg.replace(use_pallas_ln=False)
     variant = variant[:-len("_noln")]
     label_sfx = "_noln"
+if variant.endswith("_nopack"):
+    # disable the packed tri-pass text stack (sequential passes)
+    cfg = cfg.replace(packed_passes=False)
+    variant = variant[:-len("_nopack")]
+    label_sfx = "_nopack" + label_sfx
 if variant.endswith("_pattn"):
     # fused Pallas attention: recomputes probs in backward, so the
     # [B,12,256,256] prob tensors are never saved — frees ~2 GB at micro1
@@ -45,15 +50,24 @@ if variant == "nodrop":
 if variant == "noremat":
     cfg = cfg.replace(remat=False)
 MICRO = 1
+UNROLL = False
 if variant.startswith("micro"):
     # micro3 / micro2 ... : in-step grad accumulation, remat off
-    MICRO = int(variant[5:] or 3)
-    cfg = cfg.replace(remat=False)
+    # micro3u: same but with the scan unrolled (no while-loop carry)
+    spec = variant[5:] or "3"
+    if spec.endswith("u"):
+        UNROLL = True
+        spec = spec[:-1]
+    remat = spec.endswith("r")   # micro3r: keep per-layer remat ON
+    if remat:
+        spec = spec[:-1]
+    MICRO = int(spec)
+    cfg = cfg.replace(remat=remat)
 
 batch = _make_batch(cfg, B=BATCH, L=50, Lpv=256, R=36, P=30)
 trainer = PretrainTrainer(cfg, learning_rate=1e-4, warmup_steps=10,
                           total_steps=1000, sample_batch=batch,
-                          micro_steps=MICRO,
+                          micro_steps=MICRO, micro_unroll=UNROLL,
                           mesh=mesh_lib.make_mesh(n_model=1))
 db = mesh_lib.shard_batch(device_batch(batch), trainer.mesh)
 
@@ -83,11 +97,26 @@ except Exception as e:
 state = trainer.state
 for _ in range(2):
     state, m = compiled(state, db)
-jax.block_until_ready(m["loss"])
-t0 = time.perf_counter()
-N = 8
-for _ in range(N):
-    state, m = compiled(state, db)
-jax.block_until_ready(m["loss"])
-dt = (time.perf_counter() - t0) / N
-print(json.dumps(dict(variant=label, step_s=dt, samples_per_s=BATCH / dt)))
+jax.device_get(m["loss"])   # NOT block_until_ready: over the axon tunnel it
+N = 8                        # intermittently returns before remote completion
+# the tunneled chip intermittently reports phantom ~10 ms "steps" (the
+# execute call returns without running); guard with a physics lower bound
+# (flops at an impossible 2 PF/s) and retry
+lower_bound = 0.0
+try:
+    lower_bound = ca.get("flops", 0) / 2e15
+except Exception:
+    pass
+for attempt in range(4):
+    t0 = time.perf_counter()
+    for _ in range(N):
+        state, m = compiled(state, db)
+    jax.device_get(m["loss"])
+    dt = (time.perf_counter() - t0) / N
+    if dt >= lower_bound:
+        break
+    print(json.dumps(dict(variant=label, suspect_step_s=dt,
+                          loss=float(jax.device_get(m["loss"])))))
+    time.sleep(2)
+print(json.dumps(dict(variant=label, step_s=dt, samples_per_s=BATCH / dt,
+                      loss=float(jax.device_get(m["loss"])))))

@@ -76,6 +76,14 @@ class K3MConfig:
     fix_reference_bugs: bool = False  # fix known reference bugs (cosine-probs, LPM sign)
     remat: bool = True            # per-layer rematerialization (activation
                                   # recompute in backward; HBM >> FLOPs here)
+    packed_passes: bool = False   # run the text stack ONCE over the packed
+                                  # rows of all tri-pass streams (identical
+                                  # math, golden-tested). Default OFF: on
+                                  # v5e the per-layer slice/concat copies
+                                  # outweigh the matmul-M gain (145 vs 151
+                                  # samples/s/chip measured at the bench
+                                  # config). Auto-bypassed for
+                                  # in_batch_pairs/fast_mode.
     ce_chunk: int = 64            # sequence chunk for the masked-CE loss so
                                   # [B, L, vocab] logits never materialize
 

@@ -31,7 +31,7 @@ from flax import linen as nn
 
 from k3m_tpu.config import K3MConfig
 from k3m_tpu.model.coattention import ConnectionLayer, ConnectionLayerTwoText
-from k3m_tpu.model.layers import ImageLayer, TextLayer
+from k3m_tpu.model.layers import ImageLayer, Packed, TextLayer
 
 
 class TriStreamEncoder(nn.Module):
@@ -77,6 +77,23 @@ class TriStreamEncoder(nn.Module):
             if idx < cfg.fixed_t_layer:
                 x = jax.lax.stop_gradient(x)  # torch no_grad, ref :1188-1195
         return x
+
+    def _run_text_packed(self, xs, biases, start: int, end: int,
+                         deterministic: bool):
+        """Run text layers [start, end) over a TUPLE of streams at once —
+        the streams stay row-packed (layers.Packed) across the whole segment
+        so every projection/FFN/LN is one MXU matmul over all streams' rows
+        and pack/unpack copies happen only at segment boundaries. Per-row
+        math identical to _run_text on each stream separately."""
+        cfg = self.config
+        if start == end:
+            return tuple(xs)
+        p = Packed.pack(tuple(xs))
+        for idx in range(start, end):
+            p = self.layer[idx](p, tuple(biases), deterministic)
+            if idx < cfg.fixed_t_layer:
+                p = jax.lax.stop_gradient(p)
+        return p.unpack()
 
     def _run_image(self, x, bias, txt, txt_mask2, start: int, end: int,
                    deterministic: bool):
@@ -152,6 +169,83 @@ class TriStreamEncoder(nn.Module):
                              deterministic)
         return txt, pv
 
+    def _fused_passes(self, txt_emb, img_emb, txt_bias, txt_mask2, img_bias,
+                      pv_emb, pv_bias, pv_mask2, deterministic: bool):
+        """All three passes in one synchronized schedule.
+
+        The three passes run the SAME text stack over four streams (t and pv
+        sides) with segment boundaries zipped over the same t_biattention_id,
+        and the SAME image stack over two streams of equal length. Fusing
+        them packs every text-layer projection/FFN into one matmul over all
+        streams' rows (layers.pack_rows) and batches the image stack 2x —
+        per-row math is identical to the sequential passes; only the MXU
+        utilization changes (the 50-token text matmuls run ~3x below peak
+        on their own at K3M geometry)."""
+        cfg = self.config
+        use_img = cfg.use_image
+        if use_img:
+            streams = [txt_emb, pv_emb, txt_emb, pv_emb]
+            biases = (txt_bias, pv_bias, txt_bias, pv_bias)
+        else:
+            streams = [txt_emb, pv_emb]
+            biases = (txt_bias, pv_bias)
+        img2 = img_bias2 = txt_cat = mask_cat = None
+        if use_img:
+            img2 = jnp.concatenate([img_emb, img_emb], axis=0)
+            img_bias2 = jnp.concatenate([img_bias, img_bias], axis=0)
+
+        def txt_gates():
+            # dynamic_attention pools the CURRENT text state per image
+            # stream (pass 1 gates on t, pass 2 on pv): pad t to pv length
+            # (mask keeps the pooling exact) and concat along batch to
+            # match the concatenated image stream.
+            if not (use_img and cfg.dynamic_attention):
+                return None, None
+            L = max(streams[0].shape[1], streams[1].shape[1])
+
+            def pad(a):
+                return jnp.pad(a, ((0, 0), (0, L - a.shape[1]))
+                               + ((0, 0),) * (a.ndim - 2))
+            return (jnp.concatenate([pad(streams[0]), pad(streams[1])], 0),
+                    jnp.concatenate([pad(txt_mask2), pad(pv_mask2)], 0))
+
+        v_start = t_start = 0
+        for count, (v_end, t_end) in enumerate(
+                zip(cfg.v_biattention_id, cfg.t_biattention_id)):
+            streams = list(self._run_text_packed(
+                streams, biases, t_start, t_end, deterministic))
+            if use_img:
+                txt_cat, mask_cat = txt_gates()
+                img2 = self._run_image(img2, img_bias2, txt_cat, mask_cat,
+                                       v_start, v_end, deterministic)
+            if cfg.with_coattention:
+                if use_img:
+                    img_a, img_b = jnp.split(img2, 2, axis=0)
+                    img_a, streams[0] = self.c_layer[count](
+                        img_a, img_bias, streams[0], txt_bias, deterministic)
+                    img_b, streams[1] = self.c_layer_pv_v[count](
+                        img_b, img_bias, streams[1], pv_bias, deterministic)
+                    img2 = jnp.concatenate([img_a, img_b], axis=0)
+                    streams[3], streams[2] = self.c_layer_pv_t[count](
+                        streams[3], pv_bias, streams[2], txt_bias,
+                        deterministic)
+                else:
+                    streams[1], streams[0] = self.c_layer_pv_t[count](
+                        streams[1], pv_bias, streams[0], txt_bias,
+                        deterministic)
+            v_start, t_start = v_end, t_end
+        streams = list(self._run_text_packed(
+            streams, biases, t_start, cfg.num_hidden_layers, deterministic))
+        if use_img:
+            txt_cat, mask_cat = txt_gates()
+            img2 = self._run_image(img2, img_bias2, txt_cat, mask_cat,
+                                   v_start, cfg.v_num_hidden_layers,
+                                   deterministic)
+            v_with_t, v_with_pv = jnp.split(img2, 2, axis=0)
+            return (streams[0], v_with_t, streams[1], v_with_pv,
+                    streams[2], streams[3])
+        return None, None, None, None, streams[0], streams[1]
+
     # -------------------------------------------------------------- call
 
     def __call__(self, txt_emb, img_emb, txt_bias, txt_mask2, img_bias,
@@ -162,6 +256,10 @@ class TriStreamEncoder(nn.Module):
         the first four are None when use_image=False (ref :1702-1734).
         """
         cfg = self.config
+        if cfg.packed_passes and not (cfg.in_batch_pairs or cfg.fast_mode):
+            return self._fused_passes(
+                txt_emb, img_emb, txt_bias, txt_mask2, img_bias,
+                pv_emb, pv_bias, pv_mask2, deterministic)
         if cfg.use_image:
             t_with_v, v_with_t = self._pass_text_image(
                 txt_emb, img_emb, txt_bias, txt_mask2, img_bias,

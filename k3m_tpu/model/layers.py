@@ -159,6 +159,56 @@ def split_heads(x, num_heads):
     return x.reshape(b, l, num_heads, d // num_heads)
 
 
+def pack_rows(xs):
+    """Tuple of [B, L_i, H] -> ([sum(B*L_i), H] rows, saved shapes).
+
+    Streams of different sequence length share one row-major matmul: on TPU
+    the Dense/FFN projections are MXU-bound by the row count M, and the
+    50-token text streams alone (M=1600 at the bench microbatch) run ~3x
+    below the rate the same weights reach when their rows ride along with
+    the 256-token pv streams (M~19.6k packed). See TriStreamEncoder."""
+    shapes = tuple(x.shape for x in xs)
+    return jnp.concatenate([x.reshape(-1, x.shape[-1]) for x in xs], 0), shapes
+
+
+def unpack_rows(rows, shapes):
+    """Inverse of pack_rows (feature dim may differ from the packed input)."""
+    outs, o = [], 0
+    f = rows.shape[-1]
+    for s in shapes:
+        n = s[0] * s[1]
+        outs.append(rows[o:o + n].reshape(s[0], s[1], f))
+        o += n
+    return tuple(outs)
+
+
+@jax.tree_util.register_pytree_node_class
+class Packed:
+    """Row-packed multi-stream activations: `rows` [sum(B*L_i), H] plus the
+    static per-stream shapes. Stays packed ACROSS layers (pack/unpack copies
+    only at segment boundaries); shapes ride as static pytree aux data so
+    nn.remat / jit treat them as structure, not tracers."""
+
+    def __init__(self, rows, shapes):
+        self.rows = rows
+        self.shapes = tuple(tuple(s) for s in shapes)
+
+    def unpack(self):
+        return unpack_rows(self.rows, self.shapes)
+
+    @classmethod
+    def pack(cls, xs):
+        rows, shapes = pack_rows(tuple(xs))
+        return cls(rows, shapes)
+
+    def tree_flatten(self):
+        return (self.rows,), self.shapes
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+
 def merge_heads(x):
     """[B, L, H, D] -> [B, L, H*D] — reshape only, no transpose."""
     b, l, h, d = x.shape
@@ -234,22 +284,50 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, bias, *, deterministic: bool,
                  gate_q=None, gate_k=None):
+        """`x` may be a single [B, L, H] stream or a `Packed` of streams
+        (different L allowed, `bias` then a tuple): the Q/K/V projections
+        run once over the packed rows of all streams (one MXU matmul
+        instead of one per stream), attention itself per stream. Returns
+        the same structure."""
         cfg = self.config
         dtype = compute_dtype(cfg)
         init = dense_init(cfg.initializer_range)
-        q = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="query")(x)
-        k = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="key")(x)
-        v = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="value")(x)
-        if gate_q is not None:
-            q = q * gate_q[:, None, :]
-        if gate_k is not None:
-            k = k * gate_k[:, None, :]
-        ctx = attention_core(
-            split_heads(q, self.num_heads), split_heads(k, self.num_heads),
-            split_heads(v, self.num_heads), bias,
-            dropout_rate=self.attn_dropout, deterministic=deterministic,
-            module=self, use_pallas=cfg.use_pallas)
-        return merge_heads(ctx)
+        multi = isinstance(x, Packed)
+        rows = x.rows if multi else x
+        biases = tuple(bias) if multi else (bias,)
+        q = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="query")(rows)
+        k = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="key")(rows)
+        v = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="value")(rows)
+        if not multi:
+            qs, ks, vs = (q,), (k,), (v,)
+        else:
+            assert gate_q is None and gate_k is None, \
+                "QK gating is single-stream (image layers)"
+            qs, ks, vs = (unpack_rows(t, x.shapes) for t in (q, k, v))
+        outs = []
+        for qi, ki, vi, bi in zip(qs, ks, vs, biases):
+            if gate_q is not None:
+                qi = qi * gate_q[:, None, :]
+            if gate_k is not None:
+                ki = ki * gate_k[:, None, :]
+            ctx = attention_core(
+                split_heads(qi, self.num_heads), split_heads(ki, self.num_heads),
+                split_heads(vi, self.num_heads), bi,
+                dropout_rate=self.attn_dropout, deterministic=deterministic,
+                module=self, use_pallas=cfg.use_pallas)
+            outs.append(merge_heads(ctx))
+        if multi:
+            return Packed.pack(outs)
+        return outs[0]
+
+
+def _ffn_tail(mdl, h):
+    """gelu + FFN down-projection (see the call site note in TextLayer)."""
+    cfg = mdl.config
+    return nn.Dense(cfg.hidden_size,
+                    kernel_init=dense_init(cfg.initializer_range),
+                    dtype=compute_dtype(cfg),
+                    name="output")(act_fn(cfg.hidden_act)(h))
 
 
 class TextLayer(nn.Module):
@@ -261,30 +339,45 @@ class TextLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias, deterministic: bool = True):
+        """`x`: one [B, L, H] stream or a `Packed` of streams (`bias` then a
+        tuple). In Packed form every projection/FFN/LayerNorm runs once over
+        the packed rows of all streams, attention per stream, and the result
+        stays Packed — no per-layer pack/unpack copies; math per row is
+        identical to the single-stream form."""
         cfg = self.config
         dtype = compute_dtype(cfg)
         init = dense_init(cfg.initializer_range)
         drop = cfg.hidden_dropout_prob
+        multi = isinstance(x, Packed)
+        x_rows = x.rows if multi else x
 
-        attn = SelfAttention(cfg, cfg.hidden_size, cfg.num_attention_heads,
-                             cfg.attention_probs_dropout_prob,
-                             name="attention")(x, bias, deterministic=deterministic)
+        attn = SelfAttention(
+            cfg, cfg.hidden_size, cfg.num_attention_heads,
+            cfg.attention_probs_dropout_prob,
+            name="attention")(x, bias, deterministic=deterministic)
+        attn = attn.rows if multi else attn
         attn = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
                         name="attention_output")(attn)
         if not deterministic and drop > 0:
             attn = dropout(self, attn, drop, deterministic=False)
         attn = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
-                         name="attention_LayerNorm")(attn, x)
+                         name="attention_LayerNorm")(attn, x_rows)
 
         h = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=dtype,
                      name="intermediate")(attn)
-        h = act_fn(cfg.hidden_act)(h)
-        h = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
-                     name="output")(h)
+        # NOT nn.remat'd: checkpointing the gelu+down-projection to drop the
+        # post-activation residual was measured on v5e to RAISE the step's
+        # peak HBM (XLA's scheduler keeps both the saved pre-activation and
+        # recompute buffers live) with no speed win — the dual-output matmul
+        # fusions it targets are already near the chip's effective rate.
+        h = _ffn_tail(self, h)
         if not deterministic and drop > 0:
             h = dropout(self, h, drop, deterministic=False)
-        return LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
-                         name="output_LayerNorm")(h, attn)
+        out = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
+                        name="output_LayerNorm")(h, attn)
+        if multi:
+            return Packed(out, x.shapes)
+        return out
 
 
 class ImageLayer(nn.Module):

@@ -80,6 +80,7 @@ class PretrainTrainer:
                  weight_decay: float = 0.01,
                  grad_accum_steps: int = 1,
                  micro_steps: int = 1,
+                 micro_unroll: bool = False,
                  adam_eps: float = 1e-6,
                  loss_img_weight: float = 1.0,
                  objective: int = 0,
@@ -109,6 +110,7 @@ class PretrainTrainer:
                 "micro_steps > 1 changes the in-batch negative pool of "
                 "visual_target=2 / in_batch_pairs; use micro_steps=1")
         self.micro_steps = micro_steps
+        self.micro_unroll = micro_unroll
         self.base_rng = jax.random.PRNGKey(seed)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
             n_model=n_model)
@@ -215,8 +217,23 @@ class PretrainTrainer:
                      for k in ("loss", "masked_lm_loss", "masked_img_loss",
                                "masked_lm_loss_pv",
                                "next_sentence_loss_t_v_pv", "loss_struc")}
-            (gsum, msum), _ = jax.lax.scan(
-                body, (gacc0, macc0), (mb, jnp.arange(M)))
+            if self.micro_unroll:
+                # Unrolled accumulation: identical math to the scan below,
+                # but no while-loop carry — the ~|params| fp32 accumulator
+                # is not double-buffered across iterations and XLA fuses
+                # each accumulator add into its grad producer. At the
+                # batch-96 bench config the scan's carry pushes live HBM
+                # past 16 GB and spills (profiled: param-grad accumulator
+                # adds run ~100x over bandwidth bound).
+                carry = (gacc0, macc0)
+                for i in range(M):
+                    carry, _ = body(
+                        carry, (jax.tree.map(lambda x: x[i], mb),
+                                jnp.int32(i)))
+                gsum, msum = carry
+            else:
+                (gsum, msum), _ = jax.lax.scan(
+                    body, (gacc0, macc0), (mb, jnp.arange(M)))
             grads = jax.tree.map(lambda g: g / M, gsum)
             metrics = {k: v / M for k, v in msum.items()}
             new_state = state.apply_gradients(self.tx, grads)
