@@ -106,6 +106,12 @@ def bench_jax() -> dict:
 
     # MFU: XLA's own flop count for the compiled step (fwd+bwd+AdamW over
     # batch*n_chips samples) against the chip's peak bf16 rate.
+    # CAVEAT, verified empirically on this stack: cost_analysis counts a
+    # lax.scan (the micro-step loop) body ONCE, not trip-count times — a
+    # standalone micro_steps=1 step at microbatch 24 reports 14.24 TF while
+    # the 4-iteration scan over the same body reports 14.68 TF. Scale by
+    # `micro` to report the true executed flops (the optimizer update, ~6 GF,
+    # is triple-counted by this; negligible).
     flops_per_step = mfu = None
     try:
         cost = (trainer._train_step.lower(trainer.state, db)
@@ -113,6 +119,8 @@ def bench_jax() -> dict:
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0)) or None
+        if flops_per_step and micro > 1:
+            flops_per_step *= micro
         peak = peak_flops(jax.devices()[0])
         if flops_per_step and peak:
             steps_per_sec_per_chip = value / (BATCH)

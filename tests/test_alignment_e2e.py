@@ -39,6 +39,7 @@ def pair_records(tmp_path_factory):
     return out
 
 
+@pytest.mark.slow
 def test_alignment_train_eval_predict(pair_records, tmp_path):
     from k3m_tpu.train.alignment_loop import AlignmentTrainer
 

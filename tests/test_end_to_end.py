@@ -25,6 +25,7 @@ def record_file(tmp_path_factory):
     return out
 
 
+@pytest.mark.slow
 def test_end_to_end_pretrain_on_bundled_sample(record_file):
     from k3m_tpu.train.pretrain_loop import PretrainTrainer
 

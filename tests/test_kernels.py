@@ -52,6 +52,7 @@ def test_fused_biattention_matches_two_references():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_with_pallas_matches_without():
     """End-to-end: TINY model forward with use_pallas (interpret) must match
     the unfused path."""
@@ -119,6 +120,7 @@ def test_fused_biattention_grads_match_reference():
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_model_train_grads_with_pallas():
     """use_pallas must be trainable: grads flow through the custom VJP and
     match the unfused model's grads (deterministic mode)."""

@@ -21,6 +21,7 @@ def _make_trainer(cfg, batch, micro_steps):
         sample_batch=batch, micro_steps=micro_steps, seed=7)
 
 
+@pytest.mark.slow
 def test_micro_matches_single_on_per_sample_losses():
     cfg = TINY.replace(hidden_dropout_prob=0.0,
                        attention_probs_dropout_prob=0.0,
@@ -44,6 +45,7 @@ def test_micro_matches_single_on_per_sample_losses():
     assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
 
 
+@pytest.mark.slow
 def test_micro_steps_trains():
     cfg = TINY
     batch = make_pretrain_batch(cfg, B=16)

@@ -32,6 +32,7 @@ def test_param_specs():
                                np.zeros((16,))) == P()
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_and_decreases_loss():
     batch = make_pretrain_batch(TINY, B=8)
     trainer = PretrainTrainer(
@@ -45,6 +46,7 @@ def test_dp_train_step_runs_and_decreases_loss():
     assert losses[-1] < losses[0]  # same batch -> loss must drop
 
 
+@pytest.mark.slow
 def test_dp_tp_mesh_train_step():
     batch = make_pretrain_batch(TINY, B=8)
     trainer = PretrainTrainer(
@@ -58,6 +60,7 @@ def test_dp_tp_mesh_train_step():
     assert not q.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_dp_equals_single_device():
     """The sharded step must produce the same loss as a 1-device step."""
     batch = make_pretrain_batch(TINY, B=8)
@@ -74,6 +77,7 @@ def test_dp_equals_single_device():
     np.testing.assert_allclose(m1["loss"], m8["loss"], rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

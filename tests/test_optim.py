@@ -169,6 +169,7 @@ def test_tf_checkpoint_import(tmp_path):
         flat["trunk/encoder/layer_0/attention/query/kernel"], kernel)
 
 
+@pytest.mark.slow
 def test_flax_to_torch_export_roundtrip(tmp_path):
     """save_reference_checkpoint (save_pretrained/.bin-save parity) must
     invert reference_to_flat exactly: export -> import -> identical leaves,
