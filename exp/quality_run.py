@@ -166,8 +166,14 @@ def assemble():
     rows = re.findall(r"\[Epoch-(\d+)\] threshold=([\d.]+) precision=([\d.]+)"
                       r" recall=([\d.]+) f1=([\d.]+)", ft)
     if rows:
+        lines += ["Validation F1 at threshold 0.5 per finetune epoch "
+                  "(learning dynamics):", "",
+                  "| epoch | precision | recall | f1 |", "|---|---|---|---|"]
+        for e, t, p, r, f1 in rows:
+            if t == "0.5":
+                lines.append(f"| {e} | {p} | {r} | {f1} |")
         last_epoch = max(int(e) for e, *_ in rows)
-        lines.append(f"Final epoch ({last_epoch}):")
+        lines += ["", f"Final epoch ({last_epoch}) full sweep:"]
         lines += ["", "| threshold | precision | recall | f1 |",
                   "|---|---|---|---|"]
         for e, t, p, r, f1 in rows:

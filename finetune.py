@@ -43,7 +43,10 @@ def get_parser():
     p.add_argument("--gradient_accumulation_steps", default=1, type=int)
     p.add_argument("--if_pre_sampling", default=1, type=int)
     p.add_argument("--objective", default=2, type=int)
-    p.add_argument("--loss_type", default="inner", type=str,
+    # default "ce" = the reference CLI's default (finetune.py:1267); the
+    # model-config default stays "inner" (vilbert_k3m.py BertConfig), but
+    # every reference run through this entry point trains with CE.
+    p.add_argument("--loss_type", default="ce", type=str,
                    choices=["inner", "cosine", "ce"])
     p.add_argument("--threshold", default=0.5, type=float)
     p.add_argument("--max_seq_length", default=50, type=int)

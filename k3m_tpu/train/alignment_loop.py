@@ -118,10 +118,18 @@ class AlignmentTrainer:
         """Batch-shard (label, item1, item2) over the mesh — on multi-host,
         assembles per-host slices into global arrays (shard_batch's
         make_array_from_process_local_data path), same as the pretrain
-        trainer."""
+        trainer. Under bf16 compute, image_feat is host-cast to bf16
+        before transfer (numerically identical — the model casts it first
+        thing; halves the dominant wire tensor, see pretrain_loop._stage)."""
+        i1, i2 = device_item(batch["item1"]), device_item(batch["item2"])
+        if self.config.dtype == "bfloat16":
+            import ml_dtypes
+            for it in (i1, i2):
+                if "image_feat" in it:
+                    it["image_feat"] = np.asarray(
+                        it["image_feat"]).astype(ml_dtypes.bfloat16)
         return mesh_lib.shard_batch(
-            dict(label=batch["label"], item1=device_item(batch["item1"]),
-                 item2=device_item(batch["item2"])), self.mesh)
+            dict(label=batch["label"], item1=i1, item2=i2), self.mesh)
 
     def train_step(self, batch):
         db = self._shard(batch)
