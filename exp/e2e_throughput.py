@@ -64,7 +64,8 @@ def main():
     m = trainer.train_step(sample)
     jax.block_until_ready(m["loss"])
 
-    it = trainer.prefetch_to_device(iter(loader))
+    depth = int(os.environ.get("K3M_PREFETCH_DEPTH", "2"))
+    it = trainer.prefetch_to_device(iter(loader), depth=depth)
     m = trainer.train_step(next(it))
     jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()

@@ -35,6 +35,30 @@ def _dup(item):
     return out
 
 
+def _synthetic_rois(item, proj, rng, n_boxes=6, n_cls=1601, dim=2048):
+    """Learnable stand-in for real detector output (no product images ship
+    with the corpus): every region of an item carries a class drawn near a
+    category-derived base class; features are a fixed projection of the
+    class plus noise and cls_prob is peaked on it. A masked region's
+    cls_prob is then predictable from sibling regions + title text, so the
+    masked-RoI KL loss (visual_target=0) has real signal to learn."""
+    import numpy as np
+    base = (hash(item["category"]) % (n_cls - 2)) + 1   # skip background 0
+    classes = [(base + rng.integers(0, 3)) % (n_cls - 1) + 1
+               for _ in range(n_boxes)]
+    cls_prob = np.full((n_boxes, n_cls), 0.2 / (n_cls - 1), np.float32)
+    for i, c in enumerate(classes):
+        cls_prob[i, c] = 0.8
+    feats = (proj[np.asarray(classes)]
+             + 0.05 * rng.standard_normal((n_boxes, dim))).astype(np.float32)
+    x1 = rng.uniform(0, 60, n_boxes)
+    y1 = rng.uniform(0, 60, n_boxes)
+    boxes = np.stack([x1, y1, x1 + rng.uniform(20, 40, n_boxes),
+                      y1 + rng.uniform(20, 40, n_boxes)], 1).astype(np.float32)
+    return dict(image_h=100, image_w=100, num_boxes=n_boxes,
+                boxes=boxes, features=feats, cls_prob=cls_prob)
+
+
 def build_data():
     from k3m_tpu.data.prepare import build_feature_records, parse_raw_tsv
     from k3m_tpu.data.records import write_records
@@ -42,10 +66,14 @@ def build_data():
     os.makedirs(f"{WORK}/data", exist_ok=True)
     feats = {}
     items = {}
+    roi_rng = np.random.default_rng(42)
+    proj = roi_rng.standard_normal((1601, 2048)).astype(np.float32)
     for split in ("train", "valid"):
         raw = list(parse_raw_tsv(RAW.format(split)))
         items[split] = raw
-        recs = list(build_feature_records(raw))
+        recs = list(build_feature_records(
+            raw, extractor=lambda it: _synthetic_rois(it, proj, roi_rng),
+            image_dir="synthetic"))
         feats[split] = {str(r["item_id"]): r for r in recs}
         write_records(f"{WORK}/data/{split}_feat.k3mr", iter(recs))
 
@@ -125,7 +153,10 @@ def assemble():
     lines = ["# QUALITY — end-to-end learning on the real chip",
              "",
              "Full pipeline driven through the CLIs on 1x TPU v5e: bundled "
-             "499-sample corpus -> `prepare` feature records -> "
+             "499-sample corpus -> `prepare` feature records (synthetic "
+             "category-correlated RoI features — no product images ship "
+             "with the corpus — so the masked-RoI KL loss has real signal; "
+             "see `exp/quality_run.py:_synthetic_rois`) -> "
              "`pretrain.py` (reference hyperparams: batch 96, lr 1e-4, "
              "bf16, 5 epochs) -> `finetune.py` item alignment "
              "(category-derived pairs) -> threshold-sweep eval -> "

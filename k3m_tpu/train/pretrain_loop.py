@@ -126,6 +126,7 @@ class PretrainTrainer:
 
         if sample_batch is None:
             raise ValueError("sample_batch required to initialize parameters")
+        self._sample_batch = sample_batch   # retained for warmup()
         sample = device_batch(sample_batch)
         init_rngs = {"params": self.base_rng,
                      "gumbel": jax.random.fold_in(self.base_rng, 1),
@@ -145,6 +146,7 @@ class PretrainTrainer:
         self.state = TrainState(step=0, params=params, opt_state=opt_state)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._compiled_step = None   # set by warmup()
 
     # ------------------------------------------------------------- steps
 
@@ -288,8 +290,26 @@ class PretrainTrainer:
                 queue.append(self._stage(nxt))
             yield queue.popleft()
 
+    def warmup(self, batch: Dict[str, np.ndarray],
+               barrier_timeout_s: int = 1800) -> None:
+        """AOT-compile the train step WITHOUT executing it, then hold all
+        processes at a coordination-service barrier until everyone finished
+        compiling. Subsequent train_step calls run the compiled executable.
+
+        Multi-process motivation (see jax_setup.distributed_barrier): the
+        first jitted call both compiles and executes, so a fast host can
+        dispatch the first collective while a slow host is still minutes
+        into compilation — past the CPU-Gloo communicator rendezvous
+        window. AOT-compile + barrier removes the skew entirely."""
+        from k3m_tpu.utils.jax_setup import distributed_barrier
+        staged = self._stage(batch)
+        self._compiled_step = self._train_step.lower(
+            self.state, staged).compile()
+        distributed_barrier("k3m_train_step_compiled", barrier_timeout_s)
+
     def train_step(self, batch: Dict[str, np.ndarray]):
-        self.state, metrics = self._train_step(self.state, self._stage(batch))
+        step = self._compiled_step or self._train_step
+        self.state, metrics = step(self.state, self._stage(batch))
         return metrics
 
     def eval_step(self, batch: Dict[str, np.ndarray]):
@@ -305,6 +325,10 @@ class PretrainTrainer:
         if checkpoint_dir:
             from k3m_tpu.utils.metrics import MetricsLogger
             mlog = MetricsLogger(checkpoint_dir)
+        if jax.process_count() > 1 and self._compiled_step is None:
+            # multi-process: compile-then-barrier so no host dispatches the
+            # first collective while another is still compiling (warmup())
+            self.warmup(self._sample_batch)
         history = []
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()

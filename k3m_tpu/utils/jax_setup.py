@@ -40,16 +40,52 @@ def maybe_init_distributed() -> "tuple[int, int]":
       K3M_PROCESS_ID           this process's rank
       K3M_MULTIHOST=1          use jax.distributed auto-detection instead
 
+    Timeout overrides (seconds; useful when hosts are badly skewed, e.g.
+    one host cold-compiles for minutes while another idles at a barrier):
+      K3M_DIST_INIT_TIMEOUT        connection setup (jax default 300)
+      K3M_DIST_HEARTBEAT_TIMEOUT   missed-heartbeat failure detection (100)
+      K3M_DIST_SHUTDOWN_TIMEOUT    shutdown barrier (300)
+
     Returns (process_index, process_count); (0, 1) when not configured.
     """
     import jax
 
+    timeouts = {}
+    for key, env in (("initialization_timeout", "K3M_DIST_INIT_TIMEOUT"),
+                     ("heartbeat_timeout_seconds",
+                      "K3M_DIST_HEARTBEAT_TIMEOUT"),
+                     ("shutdown_timeout_seconds",
+                      "K3M_DIST_SHUTDOWN_TIMEOUT")):
+        if os.environ.get(env):
+            timeouts[key] = int(os.environ[env])
     coord = os.environ.get("K3M_COORDINATOR_ADDRESS")
     if coord:
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["K3M_NUM_PROCESSES"]),
-            process_id=int(os.environ["K3M_PROCESS_ID"]))
+            process_id=int(os.environ["K3M_PROCESS_ID"]), **timeouts)
     elif os.environ.get("K3M_MULTIHOST"):
-        jax.distributed.initialize()   # TPU-pod metadata auto-detection
+        jax.distributed.initialize(**timeouts)  # TPU-pod auto-detection
     return jax.process_index(), jax.process_count()
+
+
+def distributed_barrier(name: str, timeout_s: int = 1800) -> bool:
+    """Hold every process at a coordination-service barrier (pure KV RPC —
+    no device collective, so it is safe to call while processes are at
+    wildly different points, e.g. one still compiling).
+
+    Use before the first collective execution when hosts can skew during
+    compilation: XLA's CPU Gloo backend gives a communicator rendezvous
+    only ~30 s, so if one process dispatches the first sharded step while
+    another is still compiling, the whole world dies with
+    "Gloo context initialization failed: DEADLINE_EXCEEDED". TPU cliques
+    are more forgiving but the same hygiene applies across slow hosts.
+
+    No-op (returns False) when jax.distributed was never initialized.
+    """
+    from jax._src import distributed
+    client = distributed.global_state.client
+    if client is None:
+        return False
+    client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
+    return True

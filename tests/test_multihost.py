@@ -124,6 +124,10 @@ mine = {k: np.asarray(v)[pid * local:(pid + 1) * local]
 # sample_batch only shapes the init; init draws are identical across hosts
 trainer = PretrainTrainer(TINY, learning_rate=1e-3, warmup_steps=0,
                           total_steps=5, sample_batch=mine, seed=11)
+# AOT-compile + coordination barrier BEFORE the first collective: on a
+# 1-core host the two workers compile serially, and XLA's CPU-Gloo
+# communicator rendezvous only waits ~30s for the slow worker
+trainer.warmup(mine)
 for _ in range(2):
     m = trainer.train_step(mine)
 loss = float(jax.device_get(m["loss"]))
@@ -131,19 +135,41 @@ assert np.isfinite(loss), loss
 print(f"HOST{pid} OK loss={loss:.6f}", flush=True)
 """
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    procs = []
-    for pid in range(2):
-        env = dict(os.environ,
-                   K3M_COORDINATOR_ADDRESS="localhost:12361",
-                   K3M_NUM_PROCESSES="2", K3M_PROCESS_ID=str(pid),
-                   JAX_PLATFORMS="cpu",
-                   XLA_FLAGS="--xla_force_host_platform_device_count=4")
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", worker], env=env, cwd=repo,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+
+    def run_pair():
+        procs = []
+        for pid in range(2):
+            env = dict(
+                os.environ,
+                K3M_COORDINATOR_ADDRESS="localhost:12361",
+                K3M_NUM_PROCESSES="2", K3M_PROCESS_ID=str(pid),
+                # a 1-core host serializes the two workers' compiles, so
+                # one can sit minutes ahead of the other at every barrier;
+                # stretch the failure-detection timeouts accordingly
+                K3M_DIST_HEARTBEAT_TIMEOUT="600",
+                K3M_DIST_SHUTDOWN_TIMEOUT="840",
+                JAX_PLATFORMS="cpu",
+                # persistent cache from the first import, BEFORE conftest
+                # (a 1-core host compiles both workers' programs serially;
+                # a cold pair can skew past the coordination-service
+                # barrier timeout — the cache makes attempt 2 warm)
+                JAX_COMPILATION_CACHE_DIR=os.path.expanduser(
+                    "~/.cache/k3m_jax_tests"),
+                XLA_FLAGS="--xla_force_host_platform_device_count=4")
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", worker], env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        results = [p.communicate(timeout=900) for p in procs]
+        return procs, results
+
+    procs, results = run_pair()
+    if any(p.returncode != 0 for p in procs):
+        # cold-cache skew: one worker finished while the other was still
+        # compiling and the distributed barrier timed out. Both compiles
+        # are now in the persistent cache — retry once warm.
+        procs, results = run_pair()
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
+    for p, (out, err) in zip(procs, results):
         assert p.returncode == 0, err[-2000:]
         outs.append(out)
     losses = []

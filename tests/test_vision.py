@@ -131,3 +131,109 @@ def test_batched_extractor_matches_single_image_path():
         assert b1["image_h"] == 48 and b1["image_w"] == 64
         assert (b1["boxes"][:, 3] <= 48 + 1e-3).all()
         assert (b1["boxes"][:, 2] <= 64 + 1e-3).all()
+
+
+def test_convert_caffe_weights_round_trip(tmp_path):
+    """Synthetic detectron2-checkpoint round trip: build a caffe-style
+    state dict shaped exactly like the published R101-C4 VG checkpoint
+    (names per detectron2's STATE_DICT layout, conv [out,in,kh,kw]),
+    save it as the pkl `load_caffe_pkl` expects, convert onto the real
+    param tree, and verify the exact transforms leaf-by-leaf (conv
+    transpose 2,3,1,0; dense transpose; FrozenBN folded to scale/bias).
+    The real VG pkl cannot be fetched here (zero egress); this pins the
+    full name mapping + every numeric transform against shape truth from
+    `jax.eval_shape(model.init)` so a real checkpoint drops in unchanged."""
+    import pickle
+
+    from k3m_tpu.vision.frcnn import (FasterRCNN, convert_caffe_weights,
+                                      load_caffe_pkl)
+
+    model = FasterRCNN()
+    img = jax.ShapeDtypeStruct((64, 64, 3), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), img,
+                            (64.0, 64.0))
+    p = shapes["params"]
+    rng = np.random.default_rng(7)
+    sd = {}
+
+    def conv(src, name, bias=False):
+        kh, kw, ci, co = src["kernel"].shape
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (co, ci, kh, kw)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = rng.standard_normal(co).astype(np.float32)
+
+    def bn(src, name):
+        c = src["scale"].shape[0]
+        sd[f"{name}.norm.weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[f"{name}.norm.bias"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{name}.norm.running_mean"] = rng.standard_normal(
+            c).astype(np.float32)
+        sd[f"{name}.norm.running_var"] = rng.uniform(
+            0.5, 1.5, c).astype(np.float32)
+
+    def dense(src, name):
+        ci, co = src["kernel"].shape
+        sd[f"{name}.weight"] = rng.standard_normal((co, ci)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal(co).astype(np.float32)
+
+    bk = p["backbone"]
+    conv(bk["stem_conv1"], "backbone.stem.conv1")
+    bn(bk["stem_bn1"], "backbone.stem.conv1")
+    for stage, nblocks in {"res2": 3, "res3": 4, "res4": 23}.items():
+        for i in range(nblocks):
+            blk, base = bk[stage][f"block{i}"], f"backbone.{stage}.{i}"
+            for cname in ("conv1", "conv2", "conv3"):
+                conv(blk[cname], f"{base}.{cname}")
+                bn(blk[f"{cname}_bn"], f"{base}.{cname}")
+            if i == 0:
+                conv(blk["shortcut"], f"{base}.shortcut")
+                bn(blk["shortcut_bn"], f"{base}.shortcut")
+    for i in range(3):
+        blk, base = p["roi_head"]["res5"][f"block{i}"], f"roi_heads.res5.{i}"
+        for cname in ("conv1", "conv2", "conv3"):
+            conv(blk[cname], f"{base}.{cname}")
+            bn(blk[f"{cname}_bn"], f"{base}.{cname}")
+        if i == 0:
+            conv(blk["shortcut"], f"{base}.shortcut")
+            bn(blk["shortcut_bn"], f"{base}.shortcut")
+    conv(p["rpn"]["conv"], "proposal_generator.rpn_head.conv", bias=True)
+    conv(p["rpn"]["objectness"],
+         "proposal_generator.rpn_head.objectness_logits", bias=True)
+    conv(p["rpn"]["anchor_deltas"],
+         "proposal_generator.rpn_head.anchor_deltas", bias=True)
+    dense(p["box_predictor"]["cls_score"], "roi_heads.box_predictor.cls_score")
+    dense(p["box_predictor"]["bbox_pred"], "roi_heads.box_predictor.bbox_pred")
+
+    pkl = str(tmp_path / "model_final.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump({"model": sd, "__author__": "test"}, f)
+    loaded = load_caffe_pkl(pkl)
+    assert set(loaded) == set(sd)
+
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    tree = convert_caffe_weights(loaded, template)
+
+    # every parameter leaf must have been written (nothing left at zero)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        assert np.abs(leaf).sum() > 0, path
+
+    out = tree["params"]
+    np.testing.assert_array_equal(
+        out["backbone"]["stem_conv1"]["kernel"],
+        sd["backbone.stem.conv1.weight"].transpose(2, 3, 1, 0))
+    g = sd["backbone.res4.22.conv2.norm.weight"]
+    b = sd["backbone.res4.22.conv2.norm.bias"]
+    mean = sd["backbone.res4.22.conv2.norm.running_mean"]
+    var = sd["backbone.res4.22.conv2.norm.running_var"]
+    scale = g / np.sqrt(var + 1e-5)
+    blk = out["backbone"]["res4"]["block22"]
+    np.testing.assert_allclose(blk["conv2_bn"]["scale"], scale, rtol=1e-6)
+    np.testing.assert_allclose(blk["conv2_bn"]["bias"], b - mean * scale,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        out["box_predictor"]["cls_score"]["kernel"],
+        sd["roi_heads.box_predictor.cls_score.weight"].T)
+    np.testing.assert_array_equal(
+        out["rpn"]["objectness"]["bias"],
+        sd["proposal_generator.rpn_head.objectness_logits.bias"])
