@@ -125,6 +125,8 @@ def main():
          "--config_file", "bert_base_6layer_6conect.json",
          "--train_batch_size", "96", "--learning_rate", "1e-4",
          "--num_train_epochs", "5", "--micro_steps", "3", "--bf16",
+         "--use_image",   # run_pretrain.sh:20 — without it the masked-RoI
+                          # loss is hard-zeroed no matter what the data has
          "--warmup_proportion", "0.1", "--log_steps", "2", "--do_eval"],
         f"{WORK}/pretrain.log")
     # export the final epoch's params as a reference-format .bin — the same

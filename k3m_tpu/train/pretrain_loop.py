@@ -23,6 +23,7 @@ from __future__ import annotations
 import collections
 import itertools
 import logging
+import os
 import time
 from typing import Any, Dict, Iterable, Optional
 
@@ -263,9 +264,17 @@ class PretrainTrainer:
         dtype as its first op anyway (model/layers.py), so this is
         numerically identical — and it halves the largest wire tensor
         (batch-96: 29 MB fp32 -> 14.5 MB), which matters when H2D rides a
-        host<->chip link that serializes with execution. image_target is
-        NOT cast: the KL soft labels are consumed in fp32 (model/pretrain
-        .py:141)."""
+        host<->chip link that serializes with execution.
+
+        image_target (the 1601-way KL soft labels, visual_target=0) is the
+        next-largest tensor (batch-96: 22.7 MB fp32) and IS consumed in
+        fp32 (model/pretrain.py:141) — but its values are softmax probs in
+        [0,1], which float16 carries at 2^-11 relative error (vs bf16's
+        2^-8); probs below fp16-subnormal 6e-8 contribute nothing to the
+        KL. So under bf16 compute it ships as fp16 and is up-cast on
+        device: ~0.05% relative perturbation of the img-loss term only,
+        far inside the bf16 noise floor of the rest of the step. Disable
+        with K3M_EXACT_TARGETS=1 for bit-exact fp32 labels."""
         if isinstance(batch.get("input_ids"), jax.Array):
             return batch
         b = device_batch(batch)
@@ -273,6 +282,10 @@ class PretrainTrainer:
             import ml_dtypes
             b["image_feat"] = np.asarray(b["image_feat"]).astype(
                 ml_dtypes.bfloat16)
+            if (self.config.visual_target == 0 and "image_target" in b
+                    and not os.environ.get("K3M_EXACT_TARGETS")):
+                b["image_target"] = np.asarray(b["image_target"]).astype(
+                    np.float16)
         return mesh_lib.shard_batch(b, self.mesh)
 
     def prefetch_to_device(self, loader: Iterable, depth: int = 2):

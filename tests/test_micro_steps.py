@@ -67,3 +67,39 @@ def test_micro_steps_batch_divisibility():
     t = _make_trainer(cfg, make_pretrain_batch(cfg, B=16), micro_steps=3)
     with pytest.raises(ValueError):
         t.train_step(make_pretrain_batch(cfg, B=16))
+
+
+def test_stage_ships_compact_image_tensors(monkeypatch):
+    """Under bf16 compute the host->device batch ships image_feat as bf16
+    (identical numerics — the model's first op is that cast) and, for
+    visual_target=0, image_target as fp16 (KL soft labels in [0,1]; 2^-11
+    relative quantization, upcast to fp32 on device at pretrain.py:141).
+    K3M_EXACT_TARGETS=1 restores bit-exact fp32 labels."""
+    import ml_dtypes
+
+    cfg = TINY.replace(dtype="bfloat16", visual_target=0)
+    batch = make_pretrain_batch(cfg, B=16)
+    t = _make_trainer(cfg, batch, micro_steps=1)
+
+    monkeypatch.delenv("K3M_EXACT_TARGETS", raising=False)
+    staged = t._stage(dict(batch))
+    assert staged["image_feat"].dtype == ml_dtypes.bfloat16
+    assert staged["image_target"].dtype == np.float16
+    np.testing.assert_allclose(np.asarray(staged["image_target"],
+                                          np.float32),
+                               batch["image_target"], rtol=2e-3, atol=1e-6)
+    # the step still runs and produces a finite loss on fp16-staged labels
+    m = t.train_step(batch)
+    assert np.isfinite(float(m["loss"]))
+
+    monkeypatch.setenv("K3M_EXACT_TARGETS", "1")
+    exact = t._stage(dict(batch))
+    assert exact["image_target"].dtype == np.float32
+
+    # MSE targets (visual_target=1: raw features, unbounded) never cast
+    cfg1 = TINY.replace(dtype="bfloat16", visual_target=1)
+    batch1 = make_pretrain_batch(cfg1, B=16)
+    monkeypatch.delenv("K3M_EXACT_TARGETS", raising=False)
+    t1 = _make_trainer(cfg1, batch1, micro_steps=1)
+    staged1 = t1._stage(dict(batch1))
+    assert staged1["image_target"].dtype == np.float32
