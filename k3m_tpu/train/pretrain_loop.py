@@ -288,11 +288,15 @@ class PretrainTrainer:
                     np.float16)
         return mesh_lib.shard_batch(b, self.mesh)
 
-    def prefetch_to_device(self, loader: Iterable, depth: int = 2):
+    def prefetch_to_device(self, loader: Iterable, depth: "int | None" = None):
         """Stage `depth` batches ahead of the consumer. jax.device_put is
         asynchronous, so the H2D copy of batch N+1 (tens of MB — the whole
         bottleneck on a tunneled chip) overlaps the device compute of batch
-        N; measured 70.5 -> ~140 samples/s/chip on the e2e fit() path."""
+        N; measured 70.5 -> ~140 samples/s/chip on the e2e fit() path.
+        Default 2 (K3M_PREFETCH_DEPTH to override; 4 buys ~1% more on the
+        tunneled link at ~100 MB extra HBM for the staged batches)."""
+        if depth is None:
+            depth = int(os.environ.get("K3M_PREFETCH_DEPTH", "2"))
         queue = collections.deque()
         it = iter(loader)
         for batch in itertools.islice(it, depth):

@@ -81,3 +81,22 @@ def test_dp_equals_single_device():
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_tp_equals_dp_loss():
+    """Tensor parallelism must be a pure layout choice: the DPxTP (4x2)
+    sharded step and the DP-only (8x1) step compute the same math, so
+    their losses agree to reduction-order noise across multiple steps."""
+    batch = make_pretrain_batch(TINY, B=8)
+    t_dp = PretrainTrainer(
+        TINY, learning_rate=1e-4, warmup_steps=1, total_steps=10, seed=7,
+        sample_batch=batch, mesh=mesh_lib.make_mesh(n_data=8, n_model=1))
+    t_tp = PretrainTrainer(
+        TINY, learning_rate=1e-4, warmup_steps=1, total_steps=10, seed=7,
+        sample_batch=batch, mesh=mesh_lib.make_mesh(n_data=4, n_model=2))
+    for step in range(2):
+        m_dp = jax.device_get(t_dp.train_step(batch))
+        m_tp = jax.device_get(t_tp.train_step(batch))
+        np.testing.assert_allclose(m_dp["loss"], m_tp["loss"], rtol=5e-4,
+                                   err_msg=f"step {step}")
