@@ -217,19 +217,45 @@ class PretrainLoader(_LoaderBase):
 
 
 class AlignmentLoader(_LoaderBase):
-    """Item-alignment pair loader matching K3MDataLoader (ref :179-294)."""
+    """Item-alignment pair loader matching K3MDataLoader (ref :179-294).
+
+    Like PretrainLoader, whole batches go through one native (C++) call
+    when available (record decode + tokenize + pad + num_boxes-divide
+    collate; bit-identical, golden-tested in
+    tests/test_native_preprocess.py). Disable with
+    K3M_NATIVE_PREPROCESS=0 or native_preprocess=False.
+    """
 
     def __init__(self, record_path, tokenizer, shapes: Optional[ShapeSpec] = None,
                  batch_size: int = 32, shuffle: bool = False, seed: int = 0,
-                 visual_target: int = 0, **kw):
+                 visual_target: int = 0, native_preprocess: bool = True, **kw):
         shapes = shapes or ShapeSpec()
         super().__init__(record_path, tokenizer, shapes, batch_size, shuffle,
                          seed, **kw)
         self.preprocessor = PairPreprocessor(tokenizer, shapes,
                                              visual_target=visual_target)
+        self.native = None
+        if native_preprocess and hasattr(tokenizer, "vocab_list"):
+            from k3m_tpu.runtime import get_native_pair_preprocessor
+            self.native = get_native_pair_preprocessor(
+                record_path, tokenizer, shapes, visual_target=visual_target)
 
     def _map(self, i: int) -> Dict:
         return self.preprocessor(self.reader[i])
 
     def _collate(self, samples) -> Dict:
         return collate_pairs(samples)
+
+    def _produce(self, out_q: "queue.Queue"):
+        if self.native is None:
+            return super()._produce(out_q)
+        try:
+            idx = self._indices()
+            B = self.batch_size
+            full = len(idx) - len(idx) % B
+            for k in range(0, full, B):
+                out_q.put(self.native.batch(idx[k:k + B]))
+            if full < len(idx) and not self.drop_last:
+                out_q.put(self.native.batch(idx[full:]))
+        finally:
+            out_q.put(None)

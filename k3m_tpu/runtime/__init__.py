@@ -167,6 +167,10 @@ def _load_prep():
     lib.k3mprep_pretrain_batch.argtypes = (
         [ctypes.c_void_p, ctypes.c_void_p, _i32]
         + [ctypes.c_void_p] * 20 + [_i32])
+    lib.k3mprep_pair_batch.restype = _i32
+    lib.k3mprep_pair_batch.argtypes = (
+        [ctypes.c_void_p, ctypes.c_void_p, _i32]
+        + [ctypes.c_void_p] * 27 + [_i32])
     lib.k3mprep_destroy.restype = None
     lib.k3mprep_destroy.argtypes = [ctypes.c_void_p]
     _prep_handle = lib
@@ -306,6 +310,57 @@ class NativePretrainPreprocessor:
             pass
 
 
+class NativePairPreprocessor(NativePretrainPreprocessor):
+    """C++ batch producer for item-alignment pair records: indices -> the
+    final collated twin-item batch, bit-identical to AlignmentLoader's
+    Python path (PairPreprocessor + collate_pairs; ref K3MPreprocessBatch
+    concept_cap_dataset_struc.py:936-1263 with the num_boxes-divide
+    global-token quirk, post_process :272-294). Pairs carry no masking, so
+    no random blocks are needed."""
+
+    def _item_arrays(self, B: int) -> Dict[str, Any]:
+        s = self._shapes
+        L, Lpv, NP = s.max_seq_len, s.max_seq_len_pv, s.max_num_pv
+        R, D, T = s.max_region_len, s.v_feature_size, self._t_size
+        return dict(
+            input_ids=np.empty((B, L), np.int32),
+            input_mask=np.empty((B, L), np.int32),
+            segment_ids=np.empty((B, L), np.int32),
+            input_ids_pv=np.empty((B, Lpv), np.int32),
+            input_mask_pv=np.empty((B, Lpv), np.int32),
+            segment_ids_pv=np.empty((B, Lpv), np.int32),
+            index_p=np.empty((B, NP, 2), np.int32),
+            index_v=np.empty((B, NP, 2), np.int32),
+            image_feat=np.empty((B, R + 1, D), np.float32),
+            image_loc=np.empty((B, R + 1, 5), np.float32),
+            image_target=np.empty((B, R, T), np.float32),
+            image_mask=np.empty((B, R + 1), np.int32),
+        )
+
+    def batch(self, indices: Sequence[int]) -> Dict[str, Any]:
+        B = len(indices)
+        idx = np.ascontiguousarray(indices, np.int64)
+        label = np.empty(B, np.float32)
+        items = [self._item_arrays(B) for _ in range(2)]
+        ids_raw = [np.zeros((B, 64), np.uint8) for _ in range(2)]
+        args = [self._h, _ptr(idx), B, _ptr(label)]
+        for o, raw in zip(items, ids_raw):
+            args += [_ptr(o[k]) for k in (
+                "input_ids", "input_mask", "segment_ids", "input_ids_pv",
+                "input_mask_pv", "segment_ids_pv", "index_p", "index_v",
+                "image_feat", "image_loc", "image_target", "image_mask")]
+            args.append(_ptr(raw))
+        args.append(self._n_threads)
+        rc = self._lib.k3mprep_pair_batch(*args)
+        if rc != 0:
+            raise RuntimeError(f"k3mprep_pair_batch error {rc}")
+        for o, raw in zip(items, ids_raw):
+            o["item_id"] = [
+                bytes(row).split(b"\0", 1)[0].decode("utf-8", "replace")
+                for row in raw]
+        return dict(label=label, item1=items[0], item2=items[1])
+
+
 def get_native_pretrain_preprocessor(record_path: str, tokenizer, shapes,
                                      **kw) -> Optional[NativePretrainPreprocessor]:
     if os.environ.get("K3M_NATIVE_PREPROCESS", "1") == "0":
@@ -314,4 +369,15 @@ def get_native_pretrain_preprocessor(record_path: str, tokenizer, shapes,
         return NativePretrainPreprocessor(record_path, tokenizer, shapes, **kw)
     except Exception as e:
         logger.info("native preprocessor unavailable (%s); python fallback", e)
+        return None
+
+
+def get_native_pair_preprocessor(record_path: str, tokenizer, shapes,
+                                 **kw) -> Optional[NativePairPreprocessor]:
+    if os.environ.get("K3M_NATIVE_PREPROCESS", "1") == "0":
+        return None
+    try:
+        return NativePairPreprocessor(record_path, tokenizer, shapes, **kw)
+    except Exception as e:
+        logger.info("native pair preprocessor unavailable (%s); python fallback", e)
         return None

@@ -241,8 +241,33 @@ bool key_is(const MsgStr& k, const char* s) {
   return k.len == n && std::memcmp(k.p, s, n) == 0;
 }
 
-bool parse_record(const uint8_t* data, size_t len, Record* r) {
-  MsgView v{data, data + len};
+bool msg_read_double(MsgView& v, double* out) {
+  uint8_t t = v.peek();
+  if (t == 0xca) {
+    v.next();
+    uint32_t b = static_cast<uint32_t>(v.be(4));
+    float f;
+    std::memcpy(&f, &b, 4);
+    *out = f;
+    return v.ok;
+  }
+  if (t == 0xcb) {
+    v.next();
+    uint64_t b = v.be(8);
+    double d;
+    std::memcpy(&d, &b, 8);
+    *out = d;
+    return v.ok;
+  }
+  int64_t x;
+  if (!msg_read_int(v, &x)) return false;
+  *out = static_cast<double>(x);
+  return true;
+}
+
+// Parse one feature-record map from an open view (used both for top-level
+// pretrain records and the nested item1/item2 maps of pair records).
+bool parse_record_map(MsgView& v, Record* r) {
   size_t n = msg_map_len(v);
   for (size_t i = 0; i < n && v.ok; i++) {
     MsgStr key;
@@ -276,6 +301,37 @@ bool parse_record(const uint8_t* data, size_t len, Record* r) {
       if (v.peek() == 0xc0) { v.next(); } else msg_read_ndarray(v, &r->features);
     } else if (key_is(key, "cls_prob")) {
       if (v.peek() == 0xc0) { v.next(); } else msg_read_ndarray(v, &r->cls_prob);
+    } else {
+      msg_skip(v);
+    }
+  }
+  return v.ok;
+}
+
+bool parse_record(const uint8_t* data, size_t len, Record* r) {
+  MsgView v{data, data + len};
+  return parse_record_map(v, r);
+}
+
+// Pair record {label, item1: {...}, item2: {...}} (prepare.py
+// build_pair_records; reference pair_serialize, data_prepare.py:519-545).
+struct PairRecord {
+  double label = 0.0;
+  Record item1, item2;
+};
+
+bool parse_pair(const uint8_t* data, size_t len, PairRecord* pr) {
+  MsgView v{data, data + len};
+  size_t n = msg_map_len(v);
+  for (size_t i = 0; i < n && v.ok; i++) {
+    MsgStr key;
+    if (!msg_read_str(v, &key)) return false;
+    if (key_is(key, "label")) {
+      if (!msg_read_double(v, &pr->label)) return false;
+    } else if (key_is(key, "item1")) {
+      if (!parse_record_map(v, &pr->item1)) return false;
+    } else if (key_is(key, "item2")) {
+      if (!parse_record_map(v, &pr->item2)) return false;
     } else {
       msg_skip(v);
     }
@@ -571,26 +627,17 @@ void index_pv(const int32_t* ids, int32_t n, int32_t max_num_pv,
   }
 }
 
-int process_one(const Prep& P, int64_t rec_index, int32_t b,
-                const double* probs_w, const int64_t* rand_w,
-                const double* probs_r, const Out& o) {
-  const uint8_t* payload;
-  int64_t len = k3mr_record(P.reader, rec_index, &payload);
-  if (len < 0) return -10;
-  Record r;
-  if (!parse_record(payload, len, &r)) return -11;
-
-  const int32_t L = P.max_seq_len, Lpv = P.max_seq_len_pv;
+// Shared image path (preprocess.py:image_processing): zero-box fallback,
+// clamp to max_region_len, feature/target/location fill, mask-row fill —
+// used by both the pretrain sample (which then masks RoIs) and the
+// alignment pair item (which does not). Fills boxes_out (float32, post
+// asarray cast) for the caller's IoU and returns the clamped num_boxes
+// (always >= 1) or a negative error code.
+int image_process(const Prep& P, const Record& r, float* feat, float* loc,
+                  float* target, int32_t* img_mask,
+                  std::vector<float>* boxes_out) {
   const int32_t R = P.max_region_len, D = P.v_feature_size;
-  const int32_t T = P.v_target_size, NP = P.max_num_pv;
-
-  // ------------------------------------------------------------- image
-  float* feat = o.image_feat + static_cast<size_t>(b) * (R + 1) * D;
-  float* loc = o.image_loc + static_cast<size_t>(b) * (R + 1) * 5;
-  float* target = o.image_target + static_cast<size_t>(b) * R * T;
-  int32_t* img_label = o.image_label + static_cast<size_t>(b) * R;
-  int32_t* img_mask = o.image_mask + static_cast<size_t>(b) * (R + 1);
-  float* masked_label = o.masked_label + static_cast<size_t>(b) * R;
+  const int32_t T = P.v_target_size;
 
   double image_h = static_cast<double>(r.image_h);
   double image_w = static_cast<double>(r.image_w);
@@ -613,31 +660,14 @@ int process_one(const Prep& P, int64_t rec_index, int32_t b,
   }
 
   // boxes (float32, post asarray cast) for IoU + loc
-  std::vector<float> boxes(static_cast<size_t>(num_boxes) * 4);
+  std::vector<float>& boxes = *boxes_out;
+  boxes.resize(static_cast<size_t>(num_boxes) * 4);
   for (int32_t i = 0; i < num_boxes; i++) {
     for (int32_t c = 0; c < 4; c++)
       boxes[i * 4 + c] = fallback ? fallback_box[c] : r.boxes.at(i, c);
   }
 
-  // overlaps IoU (+1 pixel convention, preprocess.py:box_iou)
-  std::vector<float> overlaps(static_cast<size_t>(num_boxes) * num_boxes);
-  for (int32_t i = 0; i < num_boxes; i++) {
-    float ax1 = boxes[i * 4], ay1 = boxes[i * 4 + 1];
-    float ax2 = boxes[i * 4 + 2], ay2 = boxes[i * 4 + 3];
-    float area_a = (ax2 - ax1 + 1) * (ay2 - ay1 + 1);
-    for (int32_t j = 0; j < num_boxes; j++) {
-      float bx1 = boxes[j * 4], by1 = boxes[j * 4 + 1];
-      float bx2 = boxes[j * 4 + 2], by2 = boxes[j * 4 + 3];
-      float area_b = (bx2 - bx1 + 1) * (by2 - by1 + 1);
-      float iw = std::min(ax2, bx2) - std::max(ax1, bx1) + 1;
-      float ih = std::min(ay2, by2) - std::max(ay1, by1) + 1;
-      iw = std::max(iw, 0.0f);
-      ih = std::max(ih, 0.0f);
-      overlaps[i * num_boxes + j] = iw * ih / (area_a + area_b - iw * ih);
-    }
-  }
-
-  // feat rows 1..R (row 0 = global token, filled below); padding zero
+  // feat rows 1..R (row 0 = global token, filled by caller); padding zero
   std::memset(feat, 0, sizeof(float) * (R + 1) * D);
   if (!fallback) {
     if (r.features.is_f4()) {
@@ -697,6 +727,72 @@ int process_one(const Prep& P, int64_t rec_index, int32_t b,
     }
   }
 
+  img_mask[0] = 1;
+  for (int32_t i = 0; i < R; i++) img_mask[i + 1] = i < num_boxes ? 1 : 0;
+  return num_boxes;
+}
+
+// [CLS] ids[:max_len-2] [SEP] + zero-pad, mask/segment rows
+// (preprocess.py:_pad_text + add_special_tokens_single_sentence).
+// Returns the unpadded token count n (ids occupy positions 0..n+1).
+int32_t fill_text(const Prep& P, const std::vector<int32_t>& ids,
+                  int32_t max_len, int32_t* out_ids, int32_t* out_mask,
+                  int32_t* out_seg) {
+  int32_t n = std::min<int32_t>(ids.size(), max_len - 2);
+  out_ids[0] = P.cls_id;
+  for (int32_t i = 0; i < n; i++) out_ids[i + 1] = ids[i];
+  out_ids[n + 1] = P.sep_id;
+  for (int32_t i = 0; i < max_len; i++) {
+    out_mask[i] = i < n + 2 ? 1 : 0;
+    out_seg[i] = 0;
+    if (i >= n + 2) out_ids[i] = 0;
+  }
+  return n;
+}
+
+int process_one(const Prep& P, int64_t rec_index, int32_t b,
+                const double* probs_w, const int64_t* rand_w,
+                const double* probs_r, const Out& o) {
+  const uint8_t* payload;
+  int64_t len = k3mr_record(P.reader, rec_index, &payload);
+  if (len < 0) return -10;
+  Record r;
+  if (!parse_record(payload, len, &r)) return -11;
+
+  const int32_t L = P.max_seq_len, Lpv = P.max_seq_len_pv;
+  const int32_t R = P.max_region_len, D = P.v_feature_size;
+  const int32_t NP = P.max_num_pv;
+
+  // ------------------------------------------------------------- image
+  float* feat = o.image_feat + static_cast<size_t>(b) * (R + 1) * D;
+  float* loc = o.image_loc + static_cast<size_t>(b) * (R + 1) * 5;
+  float* target = o.image_target + static_cast<size_t>(b) * R * P.v_target_size;
+  int32_t* img_label = o.image_label + static_cast<size_t>(b) * R;
+  int32_t* img_mask = o.image_mask + static_cast<size_t>(b) * (R + 1);
+  float* masked_label = o.masked_label + static_cast<size_t>(b) * R;
+
+  std::vector<float> boxes;
+  int32_t num_boxes = image_process(P, r, feat, loc, target, img_mask, &boxes);
+  if (num_boxes < 0) return num_boxes;
+
+  // overlaps IoU (+1 pixel convention, preprocess.py:box_iou)
+  std::vector<float> overlaps(static_cast<size_t>(num_boxes) * num_boxes);
+  for (int32_t i = 0; i < num_boxes; i++) {
+    float ax1 = boxes[i * 4], ay1 = boxes[i * 4 + 1];
+    float ax2 = boxes[i * 4 + 2], ay2 = boxes[i * 4 + 3];
+    float area_a = (ax2 - ax1 + 1) * (ay2 - ay1 + 1);
+    for (int32_t j = 0; j < num_boxes; j++) {
+      float bx1 = boxes[j * 4], by1 = boxes[j * 4 + 1];
+      float bx2 = boxes[j * 4 + 2], by2 = boxes[j * 4 + 3];
+      float area_b = (bx2 - bx1 + 1) * (by2 - by1 + 1);
+      float iw = std::min(ax2, bx2) - std::max(ax1, bx1) + 1;
+      float ih = std::min(ay2, by2) - std::max(ay1, by1) + 1;
+      iw = std::max(iw, 0.0f);
+      ih = std::max(ih, 0.0f);
+      overlaps[i * num_boxes + j] = iw * ih / (area_a + area_b - iw * ih);
+    }
+  }
+
   // RoI masking (preprocess.py:mask_region)
   for (int32_t i = 0; i < R; i++) masked_label[i] = 0.0f;
   for (int32_t i = 0; i < R; i++) img_label[i] = -1;
@@ -713,9 +809,6 @@ int process_one(const Prep& P, int64_t rec_index, int32_t b,
       img_label[i] = -1;
     }
   }
-
-  img_mask[0] = 1;
-  for (int32_t i = 0; i < R; i++) img_mask[i + 1] = i < num_boxes ? 1 : 0;
 
   // global image token: sum(rows)/count(masked_label==0), min 1
   int32_t cnt = 0;
@@ -736,21 +829,13 @@ int process_one(const Prep& P, int64_t rec_index, int32_t b,
   mask_word(ids.data(), n_t, probs_w, rand_w, P.mask_id,
             P.visualization != 0, lbl.data());
 
-  int32_t* t_ids = o.input_ids + static_cast<size_t>(b) * L;
-  int32_t* t_mask = o.input_mask + static_cast<size_t>(b) * L;
-  int32_t* t_seg = o.segment_ids + static_cast<size_t>(b) * L;
   int32_t* t_lbl = o.lm_label_ids + static_cast<size_t>(b) * L;
-  t_ids[0] = P.cls_id;
-  for (int32_t i = 0; i < n_t; i++) t_ids[i + 1] = ids[i];
-  t_ids[n_t + 1] = P.sep_id;
-  t_lbl[0] = -1;
+  ids.resize(n_t);
+  fill_text(P, ids, L, o.input_ids + static_cast<size_t>(b) * L,
+            o.input_mask + static_cast<size_t>(b) * L,
+            o.segment_ids + static_cast<size_t>(b) * L);
+  for (int32_t i = 0; i < L; i++) t_lbl[i] = -1;
   for (int32_t i = 0; i < n_t; i++) t_lbl[i + 1] = lbl[i];
-  t_lbl[n_t + 1] = -1;
-  for (int32_t i = 0; i < L; i++) {
-    t_mask[i] = i < n_t + 2 ? 1 : 0;
-    t_seg[i] = 0;
-    if (i >= n_t + 2) { t_ids[i] = 0; t_lbl[i] = -1; }
-  }
 
   std::vector<int32_t> ids_pv;
   encode(P.tk, r.pv.p ? r.pv.p : "", r.pv.len, &ids_pv);
@@ -759,20 +844,13 @@ int process_one(const Prep& P, int64_t rec_index, int32_t b,
   mask_word_pv(ids_pv.data(), n_pv, P.mask_id, lbl_pv.data());
 
   int32_t* p_ids = o.input_ids_pv + static_cast<size_t>(b) * Lpv;
-  int32_t* p_mask = o.input_mask_pv + static_cast<size_t>(b) * Lpv;
-  int32_t* p_seg = o.segment_ids_pv + static_cast<size_t>(b) * Lpv;
   int32_t* p_lbl = o.lm_label_ids_pv + static_cast<size_t>(b) * Lpv;
-  p_ids[0] = P.cls_id;
-  for (int32_t i = 0; i < n_pv; i++) p_ids[i + 1] = ids_pv[i];
-  p_ids[n_pv + 1] = P.sep_id;
-  p_lbl[0] = -1;
+  ids_pv.resize(n_pv);
+  fill_text(P, ids_pv, Lpv, p_ids,
+            o.input_mask_pv + static_cast<size_t>(b) * Lpv,
+            o.segment_ids_pv + static_cast<size_t>(b) * Lpv);
+  for (int32_t i = 0; i < Lpv; i++) p_lbl[i] = -1;
   for (int32_t i = 0; i < n_pv; i++) p_lbl[i + 1] = lbl_pv[i];
-  p_lbl[n_pv + 1] = -1;
-  for (int32_t i = 0; i < Lpv; i++) {
-    p_mask[i] = i < n_pv + 2 ? 1 : 0;
-    p_seg[i] = 0;
-    if (i >= n_pv + 2) { p_ids[i] = 0; p_lbl[i] = -1; }
-  }
 
   index_pv(p_ids, n_pv + 2, NP,
            o.index_p + static_cast<size_t>(b) * NP * 2,
@@ -786,6 +864,86 @@ int process_one(const Prep& P, int64_t rec_index, int32_t b,
     std::memcpy(iid, r.item_id.p, c);
   }
   return 0;
+}
+
+// One item's slot pointers inside a collated alignment batch.
+struct PairItemOut {
+  int32_t *input_ids, *input_mask, *segment_ids;
+  int32_t *input_ids_pv, *input_mask_pv, *segment_ids_pv;
+  int32_t *index_p, *index_v;
+  float *image_feat, *image_loc, *image_target;
+  int32_t* image_mask;
+  char* item_ids;  // B x 64
+};
+
+// One alignment item: image (no RoI masking, global token divides by
+// num_boxes), unmasked title/pv text, pv span indexing
+// (preprocess.py:PairPreprocessor._one + _collate_alignment_item;
+// ref K3MPreprocessBatch concept_cap_dataset_struc.py:936-1263 and the
+// num_boxes-divide post_process :272-294).
+int process_pair_item(const Prep& P, const Record& r, int32_t b,
+                      const PairItemOut& o) {
+  const int32_t L = P.max_seq_len, Lpv = P.max_seq_len_pv;
+  const int32_t R = P.max_region_len, D = P.v_feature_size;
+  const int32_t NP = P.max_num_pv;
+
+  float* feat = o.image_feat + static_cast<size_t>(b) * (R + 1) * D;
+  float* loc = o.image_loc + static_cast<size_t>(b) * (R + 1) * 5;
+  float* target = o.image_target + static_cast<size_t>(b) * R * P.v_target_size;
+  int32_t* img_mask = o.image_mask + static_cast<size_t>(b) * (R + 1);
+
+  std::vector<float> boxes;
+  int32_t num_boxes = image_process(P, r, feat, loc, target, img_mask, &boxes);
+  if (num_boxes < 0) return num_boxes;
+
+  // global image token: sum(rows) / float32(num_boxes)
+  const float divisor = static_cast<float>(num_boxes);
+  for (int32_t c = 0; c < D; c++) {
+    float s = 0.0f;
+    for (int32_t i = 1; i <= R; i++) s += feat[i * D + c];
+    feat[c] = s / divisor;
+  }
+
+  std::vector<int32_t> ids;
+  encode(P.tk, r.title.p ? r.title.p : "", r.title.len, &ids);
+  if (static_cast<int32_t>(ids.size()) > L - 2) ids.resize(L - 2);
+  fill_text(P, ids, L, o.input_ids + static_cast<size_t>(b) * L,
+            o.input_mask + static_cast<size_t>(b) * L,
+            o.segment_ids + static_cast<size_t>(b) * L);
+
+  std::vector<int32_t> ids_pv;
+  encode(P.tk, r.pv.p ? r.pv.p : "", r.pv.len, &ids_pv);
+  if (static_cast<int32_t>(ids_pv.size()) > Lpv - 2) ids_pv.resize(Lpv - 2);
+  int32_t* p_ids = o.input_ids_pv + static_cast<size_t>(b) * Lpv;
+  int32_t n_pv = fill_text(P, ids_pv, Lpv, p_ids,
+                           o.input_mask_pv + static_cast<size_t>(b) * Lpv,
+                           o.segment_ids_pv + static_cast<size_t>(b) * Lpv);
+
+  index_pv(p_ids, n_pv + 2, NP,
+           o.index_p + static_cast<size_t>(b) * NP * 2,
+           o.index_v + static_cast<size_t>(b) * NP * 2);
+
+  char* iid = o.item_ids + static_cast<size_t>(b) * 64;
+  std::memset(iid, 0, 64);
+  if (r.item_id.p) {
+    size_t c = std::min<size_t>(r.item_id.len, 63);
+    std::memcpy(iid, r.item_id.p, c);
+  }
+  return 0;
+}
+
+int process_pair_one(const Prep& P, int64_t rec_index, int32_t b,
+                     float* label, const PairItemOut& o1,
+                     const PairItemOut& o2) {
+  const uint8_t* payload;
+  int64_t len = k3mr_record(P.reader, rec_index, &payload);
+  if (len < 0) return -10;
+  PairRecord pr;
+  if (!parse_pair(payload, len, &pr)) return -11;
+  label[b] = static_cast<float>(pr.label);
+  int rc = process_pair_item(P, pr.item1, b, o1);
+  if (rc != 0) return rc;
+  return process_pair_item(P, pr.item2, b, o2);
 }
 
 }  // namespace
@@ -886,6 +1044,52 @@ int32_t k3mprep_pretrain_batch(
       int r = process_one(*P, indices[b], b, probs_w + static_cast<size_t>(b) * W,
                           rand_w + static_cast<size_t>(b) * W,
                           probs_r + static_cast<size_t>(b) * R, o);
+      if (r != 0) rc.store(r);
+    }
+  };
+  if (n_threads <= 1 || B <= 1) {
+    run(0, B);
+  } else {
+    int32_t nt = std::min(n_threads, B);
+    std::vector<std::thread> ts;
+    int32_t per = (B + nt - 1) / nt;
+    for (int32_t t = 0; t < nt; t++) {
+      int32_t lo = t * per, hi = std::min(B, lo + per);
+      if (lo < hi) ts.emplace_back(run, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
+  return rc.load();
+}
+
+// Alignment pair batch: indices -> collated twin-item batch. `it1`/`it2`
+// each receive 13 output pointers in PairItemOut order.
+int32_t k3mprep_pair_batch(
+    void* h, const int64_t* indices, int32_t B, float* label,
+    int32_t* i1_input_ids, int32_t* i1_input_mask, int32_t* i1_segment_ids,
+    int32_t* i1_input_ids_pv, int32_t* i1_input_mask_pv,
+    int32_t* i1_segment_ids_pv, int32_t* i1_index_p, int32_t* i1_index_v,
+    float* i1_image_feat, float* i1_image_loc, float* i1_image_target,
+    int32_t* i1_image_mask, char* i1_item_ids,
+    int32_t* i2_input_ids, int32_t* i2_input_mask, int32_t* i2_segment_ids,
+    int32_t* i2_input_ids_pv, int32_t* i2_input_mask_pv,
+    int32_t* i2_segment_ids_pv, int32_t* i2_index_p, int32_t* i2_index_v,
+    float* i2_image_feat, float* i2_image_loc, float* i2_image_target,
+    int32_t* i2_image_mask, char* i2_item_ids, int32_t n_threads) {
+  if (!h) return -1;
+  Prep* P = static_cast<Prep*>(h);
+  PairItemOut o1{i1_input_ids, i1_input_mask, i1_segment_ids,
+                 i1_input_ids_pv, i1_input_mask_pv, i1_segment_ids_pv,
+                 i1_index_p, i1_index_v, i1_image_feat, i1_image_loc,
+                 i1_image_target, i1_image_mask, i1_item_ids};
+  PairItemOut o2{i2_input_ids, i2_input_mask, i2_segment_ids,
+                 i2_input_ids_pv, i2_input_mask_pv, i2_segment_ids_pv,
+                 i2_index_p, i2_index_v, i2_image_feat, i2_image_loc,
+                 i2_image_target, i2_image_mask, i2_item_ids};
+  std::atomic<int32_t> rc{0};
+  auto run = [&](int32_t lo, int32_t hi) {
+    for (int32_t b = lo; b < hi; b++) {
+      int r = process_pair_one(*P, indices[b], b, label, o1, o2);
       if (r != 0) rc.store(r);
     }
   };

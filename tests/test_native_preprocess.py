@@ -16,11 +16,13 @@ import os
 import numpy as np
 import pytest
 
-from k3m_tpu.data.pipeline import PretrainLoader
+from k3m_tpu.data.pipeline import AlignmentLoader, PretrainLoader
 from k3m_tpu.data.prepare import parse_raw_tsv
 from k3m_tpu.data.preprocess import ShapeSpec
 from k3m_tpu.data.records import write_records
-from k3m_tpu.runtime import get_native_pretrain_preprocessor
+from k3m_tpu.runtime import (
+    get_native_pair_preprocessor, get_native_pretrain_preprocessor,
+)
 from k3m_tpu.tokenization import get_tokenizer
 
 SAMPLE = "/root/reference/data/raw_multidata_of_product_preatrain.small_train"
@@ -148,3 +150,67 @@ def test_env_gate_disables_native(record_file, tok, monkeypatch):
     monkeypatch.setenv("K3M_NATIVE_PREPROCESS", "0")
     loader = PretrainLoader(record_file, tok, SHAPES, batch_size=8)
     assert loader.native is None
+
+
+# ---------------------------------------------------------------- pairs
+
+
+@pytest.fixture(scope="module")
+def pair_record_file(tmp_path_factory):
+    recs = list(_records(40, seed=1))
+    path = str(tmp_path_factory.mktemp("natp") / "pairs.k3mr")
+    write_records(path, (dict(label=float(i % 2), item1=recs[2 * i],
+                              item2=recs[2 * i + 1]) for i in range(20)))
+    return path
+
+
+def _assert_pair_batches_equal(py, na):
+    assert set(py) == set(na) == {"label", "item1", "item2"}
+    np.testing.assert_array_equal(np.asarray(py["label"]),
+                                  np.asarray(na["label"]))
+    assert np.asarray(na["label"]).dtype == np.float32
+    for k in ("item1", "item2"):
+        _assert_batches_equal(py[k], na[k])
+
+
+def _py_pair_batch(pair_record_file, tok, idx, **kw):
+    loader = AlignmentLoader(pair_record_file, tok, SHAPES, batch_size=len(idx),
+                             shuffle=False, native_preprocess=False, **kw)
+    return loader._collate([loader._map(int(i)) for i in idx])
+
+
+def test_pair_batch_bit_identical(pair_record_file, tok):
+    nat = get_native_pair_preprocessor(pair_record_file, tok, SHAPES)
+    if nat is None:
+        pytest.skip("native pair preprocessor unavailable")
+    idx = np.arange(20)
+    py = _py_pair_batch(pair_record_file, tok, idx)
+    na = nat.batch(idx)
+    _assert_pair_batches_equal(py, na)
+
+
+def test_pair_batch_visual_target_nonzero(pair_record_file, tok):
+    nat = get_native_pair_preprocessor(pair_record_file, tok, SHAPES,
+                                       visual_target=1)
+    if nat is None:
+        pytest.skip("native pair preprocessor unavailable")
+    idx = np.arange(10)
+    py = _py_pair_batch(pair_record_file, tok, idx, visual_target=1)
+    na = nat.batch(idx)
+    assert na["item1"]["image_target"].shape == (
+        10, SHAPES.max_region_len, SHAPES.v_feature_size)
+    _assert_pair_batches_equal(py, na)
+
+
+def test_alignment_loader_uses_native_and_matches(pair_record_file, tok):
+    kw = dict(batch_size=8, shuffle=True, seed=5)
+    nat_loader = AlignmentLoader(pair_record_file, tok, SHAPES, **kw)
+    if nat_loader.native is None:
+        pytest.skip("native pair preprocessor unavailable")
+    py_loader = AlignmentLoader(pair_record_file, tok, SHAPES,
+                                native_preprocess=False, **kw)
+    n = 0
+    for nb, pb in zip(nat_loader, py_loader):
+        _assert_pair_batches_equal(pb, nb)
+        n += 1
+    assert n == len(py_loader)
