@@ -61,13 +61,16 @@ def main():
         mesh=mesh_lib.make_mesh(n_model=1))
 
     # warmup: compile + spin the loader's prefetch thread up
+    # (sync via device_get, NOT block_until_ready — the latter can return
+    # before remote completion over this environment's tunneled chip and
+    # fabricate impossible rates; see README perf notes / bench.py)
     m = trainer.train_step(sample)
-    jax.block_until_ready(m["loss"])
+    jax.device_get(m["loss"])
 
     depth = int(os.environ.get("K3M_PREFETCH_DEPTH", "2"))
     it = trainer.prefetch_to_device(iter(loader), depth=depth)
     m = trainer.train_step(next(it))
-    jax.block_until_ready(m["loss"])
+    jax.device_get(m["loss"])
     t0 = time.perf_counter()
     n = 0
     t_feed = t_disp = 0.0
@@ -81,7 +84,7 @@ def main():
         m = trainer.train_step(batch)
         t_disp += time.perf_counter() - tb
         n += batch["input_ids"].shape[0]
-    jax.block_until_ready(m["loss"])
+    jax.device_get(m["loss"])
     dt = time.perf_counter() - t0
     rate = n / dt
     print(json.dumps({

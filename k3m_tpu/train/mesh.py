@@ -80,6 +80,26 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def commit_scalars(tree, mesh: Mesh):
+    """device_put every leaf that is NOT already NamedSharding-committed
+    (optimizer step counters etc.) onto `mesh`, replicated.
+
+    The jit tracing cache keys each input by its sharding/mesh context.
+    `optax`'s count scalars come out of `jit(tx.init)` uncommitted, while
+    the train step returns them committed to the mesh — so without this
+    the SECOND train_step call silently retraces and recompiles the whole
+    step (an extra ~8 min for the full-size alignment step on the target
+    host; pinned by tests/test_no_recompile.py)."""
+    rep = replicated(mesh)
+
+    def fix(x):
+        if isinstance(getattr(x, "sharding", None), NamedSharding):
+            return x
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(fix, tree)
+
+
 def shard_params(params, mesh: Mesh):
     return jax.device_put(params, params_shardings(params, mesh))
 

@@ -35,7 +35,7 @@ from k3m_tpu.config import K3MConfig
 from k3m_tpu.model.pretrain import K3MForPretraining
 from k3m_tpu.train import mesh as mesh_lib
 from k3m_tpu.train.optim import make_optimizer
-from k3m_tpu.train.state import CheckpointManager, TrainState
+from k3m_tpu.train.state import CheckpointManager, TrainState, initial_step
 
 logger = logging.getLogger(__name__)
 
@@ -143,8 +143,10 @@ class PretrainTrainer:
             weight_decay=weight_decay, grad_accum_steps=grad_accum_steps,
             pretrained_paths=pretrained_paths, adam_eps=adam_eps)
         # optimizer moments inherit the parameter shardings via jit inference
-        opt_state = jax.jit(self.tx.init)(params)
-        self.state = TrainState(step=0, params=params, opt_state=opt_state)
+        opt_state = mesh_lib.commit_scalars(
+            jax.jit(self.tx.init)(params), self.mesh)
+        self.state = TrainState(step=initial_step(self.mesh), params=params,
+                                opt_state=opt_state)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._compiled_step = None   # set by warmup()

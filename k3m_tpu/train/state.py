@@ -30,7 +30,7 @@ from k3m_tpu.config import K3MConfig
 
 @struct.dataclass
 class TrainState:
-    step: int
+    step: Any  # int32 scalar array — see initial_step()
     params: Any
     opt_state: Any
 
@@ -39,6 +39,24 @@ class TrainState:
         new_params = optax.apply_updates(self.params, updates)
         return self.replace(step=self.step + 1, params=new_params,
                             opt_state=new_opt_state)
+
+
+def initial_step(mesh=None):
+    """TrainState.step start value: a strong-typed int32 scalar, committed
+    to `mesh` (replicated) when given.
+
+    A Python-int 0 (weak-typed aval) or an uncommitted default-device
+    scalar keys the jit cache differently from apply_gradients' output
+    (a strong int32 array committed to the mesh) — so the SECOND
+    train_step call would miss the cache and silently recompile the whole
+    train step (measured: an extra ~8 min for the alignment step on the
+    target host's tunneled chip; pinned by tests/test_no_recompile.py)."""
+    import jax.numpy as jnp
+    z = jnp.zeros((), jnp.int32)
+    if mesh is None:
+        return z
+    from jax.sharding import NamedSharding, PartitionSpec
+    return jax.device_put(z, NamedSharding(mesh, PartitionSpec()))
 
 
 def save_params_msgpack(params, path: str) -> None:
