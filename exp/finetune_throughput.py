@@ -99,8 +99,10 @@ def main():
     jax.device_get(loss)
     jax.device_get(trainer.eval_step(sample)[3])
 
+    # what fit() runs: staged batches via prefetch_to_device (H2D of
+    # batch N+1 overlaps compute of batch N)
     r_train = timed(lambda b: trainer.train_step(b),
-                    iter(loader), lambda o: o[0])
+                    trainer.prefetch_to_device(iter(loader)), lambda o: o[0])
     r_eval = timed(lambda b: trainer._eval_step(
                        trainer.state.params, *(lambda d: (d["label"],
                        d["item1"], d["item2"]))(trainer._shard(b))),
