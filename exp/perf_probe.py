@@ -32,6 +32,12 @@ if variant.endswith("_noln"):
     cfg = cfg.replace(use_pallas_ln=False)
     variant = variant[:-len("_noln")]
     label_sfx = "_noln"
+if variant.endswith("_fqkv"):
+    # fuse each attention site's Q/K/V (and each co-attention stream's three
+    # projections) into one matmul over concatenated kernels
+    cfg = cfg.replace(fused_qkv=True)
+    variant = variant[:-len("_fqkv")]
+    label_sfx = "_fqkv" + label_sfx
 if variant.endswith("_nopack"):
     # disable the packed tri-pass text stack (sequential passes)
     cfg = cfg.replace(packed_passes=False)

@@ -86,6 +86,19 @@ class K3MConfig:
                                   # in_batch_pairs/fast_mode.
     ce_chunk: int = 64            # sequence chunk for the masked-CE loss so
                                   # [B, L, vocab] logits never materialize
+    fused_qkv: bool = False       # compute each attention site's Q/K/V (and
+                                  # each co-attention stream's 3 projections)
+                                  # as ONE matmul over concatenated kernels.
+                                  # Identical math and param tree (kernels
+                                  # concatenated at apply time; golden-tested,
+                                  # tests/test_fused_qkv.py). Default OFF:
+                                  # measured 153.6 vs 155.8 samples/s/chip at
+                                  # the bench config (v5e, micro_steps=4) —
+                                  # the per-iteration kernel concats inside
+                                  # the microbatch scan add ~5 GB/step HBM
+                                  # traffic, outweighing the launch savings.
+                                  # Becomes the right tool for small-M
+                                  # (low-batch serving) geometries.
 
     def __post_init__(self):
         if len(self.v_biattention_id) != len(self.t_biattention_id):

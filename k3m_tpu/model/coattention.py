@@ -47,9 +47,18 @@ class BiAttention(nn.Module):
         cfg = self.config
         dtype = compute_dtype(cfg)
         init = dense_init(cfg.initializer_range)
-        d = lambda n: nn.Dense(self.bi_size, kernel_init=init, dtype=dtype, name=n)
-        q1, k1, v1 = d("query1")(x1), d("key1")(x1), d("value1")(x1)
-        q2, k2, v2 = d("query2")(x2), d("key2")(x2), d("value2")(x2)
+        if cfg.fused_qkv:
+            from k3m_tpu.model.layers import DenseParams, fused_dense
+            p = lambda n, xin: DenseParams(self.bi_size, xin.shape[-1], init,
+                                           name=n)()
+            q1, k1, v1 = fused_dense(
+                x1, [p("query1", x1), p("key1", x1), p("value1", x1)], dtype)
+            q2, k2, v2 = fused_dense(
+                x2, [p("query2", x2), p("key2", x2), p("value2", x2)], dtype)
+        else:
+            d = lambda n: nn.Dense(self.bi_size, kernel_init=init, dtype=dtype, name=n)
+            q1, k1, v1 = d("query1")(x1), d("key1")(x1), d("value1")(x1)
+            q2, k2, v2 = d("query2")(x2), d("key2")(x2), d("value2")(x2)
         h = self.num_heads
 
         if cfg.use_pallas:

@@ -209,6 +209,46 @@ class Packed:
         return cls(children[0], aux)
 
 
+class DenseParams(nn.Module):
+    """Declares nn.Dense-compatible {kernel, bias} params WITHOUT running the
+    matmul, so several same-input projections can share one fused matmul
+    (`fused_dense`) while the param tree — and every checkpoint/converter
+    path keyed on it — keeps the reference's per-projection names
+    (e.g. `attention/query/kernel`)."""
+    features: int
+    in_features: int
+    kernel_init: "nn.initializers.Initializer"
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init,
+                       (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
+def fused_dense(x, params, dtype):
+    """One matmul for N same-input projections.
+
+    `params`: sequence of (kernel [K, F_i], bias [F_i]). Returns the N
+    projection outputs. On TPU this turns e.g. the three [M, 768]x[768, 768]
+    Q/K/V gemms of a text layer into one [M, 768]x[768, 2304] gemm: the MXU's
+    ~K-deep pipeline fill and the kernel launch are paid once instead of
+    three times — significant exactly where this model hurts, at small M
+    (50-token streams) and K=768. Math per output column is identical to the
+    unfused nn.Dense (each output element is the same independent dot)."""
+    w = jnp.concatenate([k for k, _ in params], axis=1).astype(dtype)
+    b = jnp.concatenate([b for _, b in params], axis=0).astype(dtype)
+    y = x.astype(dtype) @ w + b
+    splits = []
+    off = 0
+    for k, _ in params[:-1]:
+        off += k.shape[1]
+        splits.append(off)
+    return jnp.split(y, splits, axis=-1)
+
+
 def merge_heads(x):
     """[B, L, H, D] -> [B, L, H*D] — reshape only, no transpose."""
     b, l, h, d = x.shape
@@ -295,9 +335,14 @@ class SelfAttention(nn.Module):
         multi = isinstance(x, Packed)
         rows = x.rows if multi else x
         biases = tuple(bias) if multi else (bias,)
-        q = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="query")(rows)
-        k = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="key")(rows)
-        v = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="value")(rows)
+        if cfg.fused_qkv:
+            ps = [DenseParams(self.hidden_size, rows.shape[-1], init,
+                              name=n)() for n in ("query", "key", "value")]
+            q, k, v = fused_dense(rows, ps, dtype)
+        else:
+            q = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="query")(rows)
+            k = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="key")(rows)
+            v = nn.Dense(self.hidden_size, kernel_init=init, dtype=dtype, name="value")(rows)
         if not multi:
             qs, ks, vs = (q,), (k,), (v,)
         else:

@@ -152,7 +152,8 @@ class AlignmentTrainer:
         import collections
         import itertools
         if depth is None:
-            depth = int(os.environ.get("K3M_PREFETCH_DEPTH", "2"))
+            depth = max(1, int(os.environ.get("K3M_PREFETCH_DEPTH", "2")))
+            # depth < 1 would prime an empty queue and yield nothing
         queue = collections.deque()
         it = iter(loader)
         for batch in itertools.islice(it, depth):
@@ -178,6 +179,10 @@ class AlignmentTrainer:
                 if checkpoint_dir else None)
         history = []
         for epoch in range(start_epoch, num_epochs):
+            if hasattr(train_loader, "epoch"):
+                # pin the shuffle-permutation key to the true epoch index
+                # (see PretrainTrainer.fit) so resume replays the same order
+                train_loader.epoch = epoch
             t0 = time.time()
             n = 0
             for step, batch in enumerate(

@@ -298,7 +298,8 @@ class PretrainTrainer:
         Default 2 (K3M_PREFETCH_DEPTH to override; 4 buys ~1% more on the
         tunneled link at ~100 MB extra HBM for the staged batches)."""
         if depth is None:
-            depth = int(os.environ.get("K3M_PREFETCH_DEPTH", "2"))
+            depth = max(1, int(os.environ.get("K3M_PREFETCH_DEPTH", "2")))
+            # depth < 1 would prime an empty queue and yield nothing
         queue = collections.deque()
         it = iter(loader)
         for batch in itertools.islice(it, depth):
@@ -331,13 +332,41 @@ class PretrainTrainer:
         self.state, metrics = step(self.state, self._stage(batch))
         return metrics
 
+    def load_state(self, restored: TrainState) -> None:
+        """Install a restored (host-array) TrainState under the trainer's
+        existing shardings — mesh-committed exactly like the initial state,
+        so the jitted step's cache signature is unchanged (a bare numpy
+        state would silently recompile; see mesh.commit_scalars)."""
+        shardings = jax.tree.map(lambda x: x.sharding, self.state)
+        self.state = jax.device_put(restored, shardings)
+
     def eval_step(self, batch: Dict[str, np.ndarray]):
         return self._eval_step(self.state.params, self._stage(batch))
 
     def fit(self, train_loader: Iterable, val_loader: Optional[Iterable] = None,
             num_epochs: int = 1, start_epoch: int = 0, log_steps: int = 20,
             checkpoint_dir: Optional[str] = None,
-            save_checkpoints: bool = True):
+            save_checkpoints: bool = True, save_steps: Optional[int] = None,
+            start_step: int = 0, handle_preemption: bool = True):
+        """Train for [start_epoch, num_epochs) epochs.
+
+        Failure/elastic-recovery extensions beyond the reference's per-epoch
+        torch.save (train_concap_struc.py:691-705):
+          save_steps=N       — additionally checkpoint full state every N
+                               batches (CheckpointManager.save_step).
+          start_step=K       — skip the first K batches of `start_epoch`
+                               (exact mid-epoch resume: loaders are
+                               seed-deterministic and all step RNGs key off
+                               state.step).
+          handle_preemption  — on SIGTERM (the cloud-TPU preemption signal),
+                               finish the in-flight step, save a mid-epoch
+                               checkpoint, and return cleanly; the next run
+                               auto-resumes from it.
+        """
+        import itertools
+        import signal
+        import threading
+
         ckpt = (CheckpointManager(checkpoint_dir, self.config)
                 if checkpoint_dir and save_checkpoints else None)
         mlog = None
@@ -348,43 +377,85 @@ class PretrainTrainer:
             # multi-process: compile-then-barrier so no host dispatches the
             # first collective while another is still compiling (warmup())
             self.warmup(self._sample_batch)
-        history = []
-        for epoch in range(start_epoch, num_epochs):
-            t0 = time.time()
-            pending = []   # async metric fetch: never block the step loop
-            n_samples = 0
-            for step, batch in enumerate(
-                    self.prefetch_to_device(train_loader)):
-                metrics = self.train_step(batch)
-                pending.append(metrics)
-                n_samples += batch["input_ids"].shape[0]
-                if (step + 1) % log_steps == 0:
-                    m = jax.device_get(pending[-1])
-                    logger.info(
-                        "epoch %d step %d loss %.3f t %.3f v %.3f pv %.3f "
-                        "tri %.3f align %.3f", epoch, step + 1,
-                        float(m["loss"]), float(m["masked_lm_loss"]),
-                        float(m["masked_img_loss"]),
-                        float(m["masked_lm_loss_pv"]), float(m["loss_struc"]),
-                        float(m["next_sentence_loss_t_v_pv"]))
-                    if mlog is not None:
-                        mlog.log(int(jax.device_get(self.state.step)),
-                                 {k: float(v) for k, v in m.items()})
-                    pending = pending[-1:]
-            dt = time.time() - t0
-            epoch_summary = dict(epoch=epoch, seconds=dt,
-                                 samples_per_sec=n_samples / max(dt, 1e-9))
-            if val_loader is not None:
-                vals = []
-                for batch in self.prefetch_to_device(val_loader):
-                    vals.append(jax.device_get(self.eval_step(batch)))
-                for k in LOSS_KEYS:
-                    epoch_summary[f"val_{k}"] = float(
-                        np.mean([v[k] for v in vals])) if vals else float("nan")
-                logger.info("epoch %d eval: %s", epoch, {
-                    k: round(v, 4) for k, v in epoch_summary.items()
-                    if k.startswith("val_")})
+
+        preempted = threading.Event()
+        old_handler = None
+        if handle_preemption and threading.current_thread() is threading.main_thread():
+            def _on_sigterm(signum, frame):
+                logger.info("SIGTERM: will checkpoint at the next step "
+                            "boundary and exit cleanly")
+                preempted.set()
+            try:
+                old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+            except ValueError:          # non-main interpreter contexts
+                old_handler = None
+
+        def _preempt_save(epoch, done_steps):
             if ckpt is not None:
-                ckpt.save(jax.device_get(self.state), epoch)
-            history.append(epoch_summary)
-        return history
+                ckpt.save_step(jax.device_get(self.state), epoch, done_steps)
+                logger.info("preemption checkpoint: epoch %d after %d "
+                            "batches", epoch, done_steps)
+
+        history = []
+        try:
+            for epoch in range(start_epoch, num_epochs):
+                for ld in (train_loader, val_loader):
+                    if hasattr(ld, "epoch"):
+                        # pin the loader's shuffle/RNG key to the TRUE epoch
+                        # index (the loader's own counter is process-local
+                        # and restarts at 0), so a resumed run reproduces
+                        # the uninterrupted run's data order exactly
+                        ld.epoch = epoch
+                t0 = time.time()
+                pending = []   # async metric fetch: never block the step loop
+                n_samples = 0
+                it = iter(train_loader)
+                step0 = 0
+                if epoch == start_epoch and start_step:
+                    it = itertools.islice(it, start_step, None)
+                    step0 = start_step
+                for step, batch in enumerate(
+                        self.prefetch_to_device(it), start=step0):
+                    metrics = self.train_step(batch)
+                    pending.append(metrics)
+                    n_samples += batch["input_ids"].shape[0]
+                    if save_steps and ckpt is not None \
+                            and (step + 1) % save_steps == 0:
+                        ckpt.save_step(jax.device_get(self.state), epoch, step + 1)
+                    if preempted.is_set():
+                        _preempt_save(epoch, step + 1)
+                        history.append(dict(epoch=epoch, preempted_at_step=step + 1))
+                        return history
+                    if (step + 1) % log_steps == 0:
+                        m = jax.device_get(pending[-1])
+                        logger.info(
+                            "epoch %d step %d loss %.3f t %.3f v %.3f pv %.3f "
+                            "tri %.3f align %.3f", epoch, step + 1,
+                            float(m["loss"]), float(m["masked_lm_loss"]),
+                            float(m["masked_img_loss"]),
+                            float(m["masked_lm_loss_pv"]), float(m["loss_struc"]),
+                            float(m["next_sentence_loss_t_v_pv"]))
+                        if mlog is not None:
+                            mlog.log(int(jax.device_get(self.state.step)),
+                                     {k: float(v) for k, v in m.items()})
+                        pending = pending[-1:]
+                dt = time.time() - t0
+                epoch_summary = dict(epoch=epoch, seconds=dt,
+                                     samples_per_sec=n_samples / max(dt, 1e-9))
+                if val_loader is not None:
+                    vals = []
+                    for batch in self.prefetch_to_device(val_loader):
+                        vals.append(jax.device_get(self.eval_step(batch)))
+                    for k in LOSS_KEYS:
+                        epoch_summary[f"val_{k}"] = float(
+                            np.mean([v[k] for v in vals])) if vals else float("nan")
+                    logger.info("epoch %d eval: %s", epoch, {
+                        k: round(v, 4) for k, v in epoch_summary.items()
+                        if k.startswith("val_")})
+                if ckpt is not None:
+                    ckpt.save(jax.device_get(self.state), epoch)
+                history.append(epoch_summary)
+            return history
+        finally:
+            if old_handler is not None:
+                signal.signal(signal.SIGTERM, old_handler)

@@ -89,21 +89,53 @@ class CheckpointManager:
         self._ckptr.save(os.path.join(path, "state"), state, force=True)
         save_params_msgpack(state.params, os.path.join(path, "params.msgpack"))
         self._ckptr.wait_until_finished()
-        with open(os.path.join(self.directory, "latest.json"), "w") as f:
-            json.dump({"epoch": epoch}, f)
+        self._write_latest({"epoch": epoch, "dir": f"epoch_{epoch}"})
         return path
 
-    def latest_epoch(self) -> Optional[int]:
+    def save_step(self, state: TrainState, epoch: int,
+                  in_epoch_step: int) -> str:
+        """Mid-epoch full-state save (periodic `save_steps` or preemption).
+
+        `in_epoch_step` = number of batches of epoch `epoch` fully consumed;
+        resume = restore() + fit(start_epoch=epoch, start_step=that) — exact,
+        because the loaders are seed-deterministic and the train step keys
+        every RNG off state.step (pretrain_loop._build_train_step). Beyond
+        reference parity: the reference checkpoints only per epoch
+        (train_concap_struc.py:691-705) and loses up to an epoch of work on
+        preemption."""
+        name = f"step_e{epoch}_s{in_epoch_step}"
+        path = os.path.join(self.directory, name)
+        self._ckptr.save(os.path.join(path, "state"), state, force=True)
+        self._ckptr.wait_until_finished()
+        self._write_latest({"epoch": epoch, "in_epoch_step": in_epoch_step,
+                            "dir": name})
+        return path
+
+    def _write_latest(self, meta: dict) -> None:
+        tmp = os.path.join(self.directory, "latest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.directory, "latest.json"))
+
+    def latest(self) -> Optional[dict]:
         meta = os.path.join(self.directory, "latest.json")
         if not os.path.exists(meta):
             return None
         with open(meta) as f:
-            return json.load(f)["epoch"]
+            return json.load(f)
+
+    def latest_epoch(self) -> Optional[int]:
+        meta = self.latest()
+        return None if meta is None else meta["epoch"]
 
     def restore(self, state_template: TrainState,
                 epoch: Optional[int] = None) -> Optional[TrainState]:
-        epoch = epoch if epoch is not None else self.latest_epoch()
-        if epoch is None:
-            return None
-        path = os.path.join(self.directory, f"epoch_{epoch}", "state")
+        if epoch is not None:
+            d = f"epoch_{epoch}"
+        else:
+            meta = self.latest()
+            if meta is None:
+                return None
+            d = meta.get("dir", f"epoch_{meta['epoch']}")
+        path = os.path.join(self.directory, d, "state")
         return self._ckptr.restore(path, state_template)

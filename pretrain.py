@@ -31,8 +31,13 @@ def get_parser():
     p.add_argument("--pretrained_model_path", default=None, type=str)
     p.add_argument("--config_file", default="k3m_roberta_base.json", type=str)
     p.add_argument("--pretrained_model_weights", default=None, type=str)
-    p.add_argument("--file_checkpoint", default="", type=str)
+    p.add_argument("--file_checkpoint", default="", type=str,
+                   help="checkpoint dir to resume full state from (epoch or "
+                        "mid-epoch step checkpoints; typically --output_dir)")
     p.add_argument("--file_state_dict", default="", type=str)
+    p.add_argument("--save_steps", default=0, type=int,
+                   help="additionally checkpoint full state every N batches "
+                        "(0 = per-epoch only, the reference behavior)")
     p.add_argument("--log_steps", default=10, type=int)
     p.add_argument("--cache", default=5000, type=int)
     p.add_argument("--use_image", action="store_true")
@@ -209,10 +214,32 @@ def main(argv=None):
         trainer.state = trainer.state.replace(params=load_params_msgpack(
             trainer.state.params, args.file_state_dict))
 
+    start_epoch, start_step = int(args.start_epoch), 0
+    if args.file_checkpoint:
+        # full-state resume (model+optimizer+step; epoch or mid-epoch
+        # preemption/save_steps checkpoint) — reference pretrain.py resumes
+        # via the same flag (its :286-297 equivalent)
+        import jax
+
+        from k3m_tpu.train.state import CheckpointManager
+        cm = CheckpointManager(args.file_checkpoint)
+        restored = cm.restore(jax.device_get(trainer.state))
+        if restored is not None:
+            trainer.load_state(restored)
+            meta = cm.latest() or {}
+            if "in_epoch_step" in meta:
+                start_epoch = int(meta["epoch"])
+                start_step = int(meta["in_epoch_step"])
+            else:
+                start_epoch = int(meta.get("epoch", -1)) + 1
+            logger.info("resumed from %s at epoch %d step %d",
+                        args.file_checkpoint, start_epoch, start_step)
+
     history = trainer.fit(train_loader, val_loader,
                           num_epochs=int(args.num_train_epochs),
-                          start_epoch=int(args.start_epoch),
+                          start_epoch=start_epoch, start_step=start_step,
                           log_steps=args.log_steps,
+                          save_steps=args.save_steps or None,
                           checkpoint_dir=args.output_dir)
     logger.info("training history: %s", history)
 

@@ -218,24 +218,30 @@ def main(argv=None):
         from k3m_tpu.train.state import load_params_msgpack
         trainer.state = trainer.state.replace(params=load_params_msgpack(
             trainer.state.params, args.file_state_dict))
-    start_epoch = int(args.start_epoch)
+    start_epoch, start_step = int(args.start_epoch), 0
     if args.file_checkpoint:
-        # full-state resume (model+optimizer+step), reference :263-297
+        # full-state resume (model+optimizer+step), reference :263-297;
+        # mid-epoch step checkpoints (save_steps / preemption) resume exactly
         import jax
         from k3m_tpu.train.state import CheckpointManager
         cm = CheckpointManager(args.file_checkpoint)
         restored = cm.restore(jax.device_get(trainer.state))
         if restored is not None:
-            trainer.state = restored
-            start_epoch = (cm.latest_epoch() or -1) + 1
-            logger.info("resumed from %s at epoch %d", args.file_checkpoint,
-                        start_epoch)
+            trainer.load_state(restored)
+            meta = cm.latest() or {}
+            if "in_epoch_step" in meta:
+                start_epoch = int(meta["epoch"])
+                start_step = int(meta["in_epoch_step"])
+            else:
+                start_epoch = int(meta.get("epoch", -1)) + 1
+            logger.info("resumed from %s at epoch %d step %d",
+                        args.file_checkpoint, start_epoch, start_step)
 
     if args.do_train:
         history = trainer.fit(
             train_loader, val_loader if args.do_eval else None,
             num_epochs=int(args.num_train_epochs),
-            start_epoch=start_epoch,
+            start_epoch=start_epoch, start_step=start_step,
             log_steps=args.log_steps,
             checkpoint_dir=args.output_dir)
         logger.info("training history: %s", history)
