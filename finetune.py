@@ -30,6 +30,9 @@ def get_parser():
     p.add_argument("--config_file", default="bert_base_6layer_6conect.json", type=str)
     p.add_argument("--pretrained_model_path", default=None, type=str)
     p.add_argument("--file_state_dict", default="", type=str)
+    p.add_argument("--skip_nonfinite", action="store_true",
+                   help="skip (don't apply) any update whose grads contain "
+                        "non-finite values instead of poisoning params")
     p.add_argument("--log_steps", default=10, type=int)
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_eval", action="store_true")
@@ -169,7 +172,8 @@ def main(argv=None):
         total_steps=total_steps,
         grad_accum_steps=args.gradient_accumulation_steps,
         adam_eps=args.adam_epsilon,
-        seed=args.seed, n_model=args.n_model, sample_batch=sample_batch)
+        seed=args.seed, n_model=args.n_model, sample_batch=sample_batch,
+        skip_nonfinite=args.skip_nonfinite)
 
     if args.pretrained_model_path:
         from k3m_tpu.train.convert import load_pretrained_into_params

@@ -66,8 +66,12 @@ class AlignmentTrainer:
                  seed: int = 42,
                  n_model: int = 1,
                  mesh: Optional[Any] = None,
-                 sample_batch: Optional[Dict] = None):
+                 sample_batch: Optional[Dict] = None,
+                 skip_nonfinite: bool = False):
         self.config = config
+        # skip (don't apply) updates with non-finite grads — see
+        # TrainState.apply_gradients_guarded; --skip_nonfinite in finetune.py
+        self.skip_nonfinite = skip_nonfinite
         self.model = K3MForItemAlignment(config)
         self.base_rng = jax.random.PRNGKey(seed)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
@@ -108,7 +112,12 @@ class AlignmentTrainer:
 
             (loss, probs), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            return state.apply_gradients(self.tx, grads), loss, probs
+            if self.skip_nonfinite:
+                new_state, _ok = state.apply_gradients_guarded(
+                    self.tx, grads)
+            else:
+                new_state = state.apply_gradients(self.tx, grads)
+            return new_state, loss, probs
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def _build_eval_step(self):

@@ -82,6 +82,7 @@ class PretrainTrainer:
                  grad_accum_steps: int = 1,
                  micro_steps: int = 1,
                  micro_unroll: bool = False,
+                 skip_nonfinite: bool = False,
                  adam_eps: float = 1e-6,
                  loss_img_weight: float = 1.0,
                  objective: int = 0,
@@ -112,6 +113,11 @@ class PretrainTrainer:
                 "visual_target=2 / in_batch_pairs; use micro_steps=1")
         self.micro_steps = micro_steps
         self.micro_unroll = micro_unroll
+        # Anomaly guard: skip (don't apply) any step whose gradients contain
+        # non-finite values — see TrainState.apply_gradients_guarded. Off by
+        # default for bit-exact reference parity; --skip_nonfinite in the
+        # CLIs. When on, metrics carry "nonfinite_skipped" (1.0 = skipped).
+        self.skip_nonfinite = skip_nonfinite
         self.base_rng = jax.random.PRNGKey(seed)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
             n_model=n_model)
@@ -190,7 +196,11 @@ class PretrainTrainer:
 
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            new_state = state.apply_gradients(self.tx, grads)
+            if self.skip_nonfinite:
+                new_state, ok = state.apply_gradients_guarded(self.tx, grads)
+                metrics["nonfinite_skipped"] = 1.0 - ok.astype(jnp.float32)
+            else:
+                new_state = state.apply_gradients(self.tx, grads)
             return new_state, metrics
 
         def micro_step_fn(state: TrainState, batch):
@@ -241,7 +251,11 @@ class PretrainTrainer:
                     body, (gacc0, macc0), (mb, jnp.arange(M)))
             grads = jax.tree.map(lambda g: g / M, gsum)
             metrics = {k: v / M for k, v in msum.items()}
-            new_state = state.apply_gradients(self.tx, grads)
+            if self.skip_nonfinite:
+                new_state, ok = state.apply_gradients_guarded(self.tx, grads)
+                metrics["nonfinite_skipped"] = 1.0 - ok.astype(jnp.float32)
+            else:
+                new_state = state.apply_gradients(self.tx, grads)
             return new_state, metrics
 
         del mesh
@@ -428,6 +442,10 @@ class PretrainTrainer:
                         return history
                     if (step + 1) % log_steps == 0:
                         m = jax.device_get(pending[-1])
+                        if float(m.get("nonfinite_skipped", 0.0)):
+                            logger.warning(
+                                "epoch %d step %d: non-finite grads — "
+                                "update skipped", epoch, step + 1)
                         logger.info(
                             "epoch %d step %d loss %.3f t %.3f v %.3f pv %.3f "
                             "tri %.3f align %.3f", epoch, step + 1,

@@ -40,6 +40,32 @@ class TrainState:
         return self.replace(step=self.step + 1, params=new_params,
                             opt_state=new_opt_state)
 
+    def apply_gradients_guarded(self, tx: optax.GradientTransformation,
+                                grads):
+        """apply_gradients that SKIPS the update (params and optimizer state
+        unchanged) when any gradient element is non-finite, instead of
+        corrupting the whole run with NaN params. The step counter still
+        advances so RNG streams and schedules stay aligned with the data
+        order. Returns (new_state, ok) with ok a bool scalar (False =
+        skipped). All in-graph — no host sync, no branch recompile (a
+        `where` select, not lax.cond, so the update math XLA already emits
+        is reused). Beyond reference parity: the reference has no anomaly
+        handling at all (torch amp's GradScaler skip exists only for fp16
+        scaling, and the reference's bf16/fp32 paths run unguarded)."""
+        import jax.numpy as jnp
+        ok = jnp.bool_(True)
+        for g in jax.tree.leaves(grads):
+            ok &= jnp.all(jnp.isfinite(g))
+        updates, new_opt_state = tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+
+        def sel(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, old)
+
+        return self.replace(step=self.step + 1,
+                            params=sel(new_params, self.params),
+                            opt_state=sel(new_opt_state, self.opt_state)), ok
+
 
 def initial_step(mesh=None):
     """TrainState.step start value: a strong-typed int32 scalar, committed

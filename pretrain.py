@@ -35,6 +35,9 @@ def get_parser():
                    help="checkpoint dir to resume full state from (epoch or "
                         "mid-epoch step checkpoints; typically --output_dir)")
     p.add_argument("--file_state_dict", default="", type=str)
+    p.add_argument("--skip_nonfinite", action="store_true",
+                   help="skip (don't apply) any update whose grads contain "
+                        "non-finite values instead of poisoning params")
     p.add_argument("--save_steps", default=0, type=int,
                    help="additionally checkpoint full state every N batches "
                         "(0 = per-epoch only, the reference behavior)")
@@ -203,7 +206,8 @@ def main(argv=None):
         loss_img_weight=args.loss_img_weight, objective=args.objective,
         adam_eps=args.adam_epsilon,
         seed=args.seed, n_model=args.n_model, sample_batch=sample_batch,
-        pretrained_paths=pretrained_paths)
+        pretrained_paths=pretrained_paths,
+        skip_nonfinite=args.skip_nonfinite)
 
     if args.pretrained_model_path:
         from k3m_tpu.train.convert import load_pretrained_into_params

@@ -100,3 +100,31 @@ def test_tp_equals_dp_loss():
         m_tp = jax.device_get(t_tp.train_step(batch))
         np.testing.assert_allclose(m_dp["loss"], m_tp["loss"], rtol=5e-4,
                                    err_msg=f"step {step}")
+
+
+@pytest.mark.slow
+def test_alignment_tp_equals_dp():
+    """The item-alignment twin tower must also be layout-invariant: DPxTP
+    (4x2) and DP-only (8x1) training steps agree to reduction-order noise.
+    (The pretrain-model TP tests above don't cover K3MForItemAlignment's
+    twin-tower apply / pair batching path.)"""
+    from k3m_tpu.train.alignment_loop import AlignmentTrainer, device_item
+    i1 = device_item(make_pretrain_batch(TINY, B=8, seed=1))
+    i2 = device_item(make_pretrain_batch(TINY, B=8, seed=2))
+    label = (np.arange(8) % 2).astype(np.int32)
+    batch = dict(label=label, item1=i1, item2=i2)
+    kw = dict(learning_rate=1e-4, warmup_steps=1, total_steps=10, seed=7,
+              sample_batch=batch)
+    t_dp = AlignmentTrainer(TINY, mesh=mesh_lib.make_mesh(n_data=8,
+                                                          n_model=1), **kw)
+    t_tp = AlignmentTrainer(TINY, mesh=mesh_lib.make_mesh(n_data=4,
+                                                          n_model=2), **kw)
+    for step in range(2):
+        l_dp, _ = t_dp.train_step(batch)
+        l_tp, _ = t_tp.train_step(batch)
+        np.testing.assert_allclose(
+            jax.device_get(l_dp), jax.device_get(l_tp), rtol=5e-4,
+            err_msg=f"step {step}")
+    q = t_tp.state.params["params"]["trunk"]["encoder"]["layer_0"][
+        "attention"]["query"]["kernel"]
+    assert not q.sharding.is_fully_replicated

@@ -64,6 +64,10 @@ def get_parser():
     parser.add_argument("--micro_steps", default=1, type=int,
                         help="in-step microbatches (grad accumulation inside "
                              "one jitted step)")
+    parser.add_argument("--skip_nonfinite", action="store_true",
+                        help="skip (don't apply) any update whose grads "
+                             "contain non-finite values instead of "
+                             "poisoning params")
     parser.add_argument("--no_remat", action="store_true",
                         help="disable per-layer rematerialization")
     parser.add_argument("--adam_epsilon", default=1e-8, type=float)
@@ -209,6 +213,7 @@ def main(argv=None):
         n_model=args.n_model,
         sample_batch=sample_batch,
         pretrained_paths=pretrained_paths,
+        skip_nonfinite=args.skip_nonfinite,
     )
     if args.pretrained_model_path:
         from k3m_tpu.train.convert import load_pretrained_into_params
