@@ -12,7 +12,12 @@ text), fed end-to-end from AlignmentLoader (native C++ pair batches):
 Timing syncs via jax.device_get (NOT block_until_ready — see README perf
 notes: the latter can return early over this environment's tunneled chip).
 
-Usage: python exp/finetune_throughput.py [n_pairs] [loss_type]
+Usage: python exp/finetune_throughput.py [n_pairs] [loss_type] [micro_steps]
+
+micro_steps > 1 slices the batch inside the jitted step (grad averaging)
+and turns per-layer remat OFF — the same lever that won the pretrain bench
+(README perf notes): live activations cap at one microbatch, so the
+recompute tax goes away while still fitting 16 GB HBM.
 """
 import itertools
 import json
@@ -45,6 +50,7 @@ SHAPES = ShapeSpec(max_seq_len=50, max_seq_len_pv=256, max_num_pv=30,
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
 LOSS_TYPE = sys.argv[2] if len(sys.argv) > 2 else "ce"
+MICRO = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 
 
 def make_pairs(path, n):
@@ -85,19 +91,32 @@ def main():
     tok = get_tokenizer()
     loader = AlignmentLoader(path, tok, SHAPES, batch_size=BATCH,
                              shuffle=True, seed=0, drop_last=True)
-    # remat=True: the twin tower runs the tri-pass trunk TWICE per step;
-    # batch-32 bwd without remat overflows the 16 GB HBM
+    # micro_steps=1: remat=True — the twin tower runs the tri-pass trunk
+    # TWICE per step; batch-32 bwd without remat overflows the 16 GB HBM.
+    # micro_steps>1: remat can turn off (live activations = one microbatch).
     cfg = K3MConfig().replace(dtype="bfloat16", loss_type=LOSS_TYPE,
-                              remat=True)
+                              remat=(MICRO == 1))
     sample = next(iter(loader))
     trainer = AlignmentTrainer(cfg, learning_rate=5e-5, warmup_steps=10,
                                total_steps=1000, sample_batch=sample,
+                               micro_steps=MICRO,
                                mesh=mesh_lib.make_mesh(n_model=1))
 
     # compile both steps
     loss, _ = trainer.train_step(sample)
     jax.device_get(loss)
     jax.device_get(trainer.eval_step(sample)[3])
+
+    # device rate: loop the train step on ONE pre-staged batch (the bench.py
+    # pattern) — isolates the TPU step from this environment's tunneled-link
+    # H2D, which dominates the e2e loop below (README finetune perf notes)
+    db = trainer._shard(sample)
+    iters = 12
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        lo, _ = trainer.train_step(db)
+    jax.device_get(lo)
+    r_staged = BATCH * iters / (time.perf_counter() - t0)
 
     # what fit() runs: staged batches via prefetch_to_device (H2D of
     # batch N+1 overlaps compute of batch N)
@@ -109,7 +128,8 @@ def main():
                    iter(loader), lambda o: o[3])
     print(json.dumps({
         "metric": "finetune_pairs_per_sec_per_chip", "loss_type": LOSS_TYPE,
-        "batch": BATCH, "train": round(r_train, 1),
+        "batch": BATCH, "micro_steps": MICRO, "remat": MICRO == 1,
+        "train_staged": round(r_staged, 1), "train": round(r_train, 1),
         "eval_predict": round(r_eval, 1), "pairs": N}))
 
 

@@ -33,6 +33,12 @@ def get_parser():
     p.add_argument("--skip_nonfinite", action="store_true",
                    help="skip (don't apply) any update whose grads contain "
                         "non-finite values instead of poisoning params")
+    p.add_argument("--micro_steps", default=1, type=int,
+                   help="in-step microbatches (grad accumulation inside one "
+                        "jitted step; combine with --no_remat for the fast "
+                        "configuration — see README finetune perf)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable per-layer rematerialization")
     p.add_argument("--log_steps", default=10, type=int)
     p.add_argument("--do_train", action="store_true")
     p.add_argument("--do_eval", action="store_true")
@@ -121,6 +127,7 @@ def main(argv=None):
         use_image=args.use_image, with_coattention=args.with_coattention,
         num_negative_image=args.num_negative_image,
         dtype="bfloat16" if args.bf16 else "float32",
+        remat=not args.no_remat,
         model="roberta" if "roberta" in (args.model_name or "") else "bert")
 
     if args.file_name:  # split pattern (ref finetune.py:223,240)
@@ -171,6 +178,7 @@ def main(argv=None):
         warmup_steps=int(args.warmup_proportion * total_steps),
         total_steps=total_steps,
         grad_accum_steps=args.gradient_accumulation_steps,
+        micro_steps=args.micro_steps,
         adam_eps=args.adam_epsilon,
         seed=args.seed, n_model=args.n_model, sample_batch=sample_batch,
         skip_nonfinite=args.skip_nonfinite)

@@ -62,6 +62,8 @@ class AlignmentTrainer:
                  warmup_steps: int = 0,
                  total_steps: int = 1000,
                  grad_accum_steps: int = 1,
+                 micro_steps: int = 1,
+                 micro_unroll: bool = False,
                  adam_eps: float = 1e-8,
                  seed: int = 42,
                  n_model: int = 1,
@@ -69,6 +71,18 @@ class AlignmentTrainer:
                  sample_batch: Optional[Dict] = None,
                  skip_nonfinite: bool = False):
         self.config = config
+        # In-step microbatching (same lever as PretrainTrainer: grads
+        # averaged over micro_steps slices inside one jitted step — the
+        # reference's own grad-accumulation normalization,
+        # train_concap_struc.py:561-575). All three alignment loss types
+        # are per-pair means (no cross-batch coupling), so slicing the
+        # batch is semantics-preserving. The payoff: live activations cap
+        # at one microbatch, letting per-layer remat (config.remat) turn
+        # off within 16 GB HBM — the twin tower runs the tri-pass trunk
+        # TWICE per step and its batch-32 bwd without remat overflows
+        # otherwise.
+        self.micro_steps = micro_steps
+        self.micro_unroll = micro_unroll
         # skip (don't apply) updates with non-finite grads — see
         # TrainState.apply_gradients_guarded; --skip_nonfinite in finetune.py
         self.skip_nonfinite = skip_nonfinite
@@ -101,13 +115,16 @@ class AlignmentTrainer:
         self._eval_step = self._build_eval_step()
 
     def _build_train_step(self):
+        def make_rngs(rng):
+            return {"dropout": rng, "gumbel": jax.random.fold_in(rng, 1)}
+
         def step_fn(state: TrainState, label, i1, i2):
             rng = jax.random.fold_in(self.base_rng, state.step)
-            rngs = {"dropout": rng, "gumbel": jax.random.fold_in(rng, 1)}
 
             def loss_fn(p):
                 e1, e2, probs, loss = self.model.apply(
-                    p, label, i1, i2, deterministic=False, rngs=rngs)
+                    p, label, i1, i2, deterministic=False,
+                    rngs=make_rngs(rng))
                 return loss, probs
 
             (loss, probs), grads = jax.value_and_grad(
@@ -118,7 +135,59 @@ class AlignmentTrainer:
             else:
                 new_state = state.apply_gradients(self.tx, grads)
             return new_state, loss, probs
-        return jax.jit(step_fn, donate_argnums=(0,))
+
+        def micro_step_fn(state: TrainState, label, i1, i2):
+            M = self.micro_steps
+            rng = jax.random.fold_in(self.base_rng, state.step)
+            B = label.shape[0]
+            if B % M:
+                raise ValueError(f"batch {B} not divisible by micro_steps {M}")
+            split = lambda x: x.reshape((M, B // M) + x.shape[1:])
+            mb = (split(label), jax.tree.map(split, i1),
+                  jax.tree.map(split, i2))
+
+            def body(carry, xs):
+                gacc, lacc = carry
+                lb, b1, b2, i = xs
+
+                def loss_fn(p):
+                    e1, e2, probs, loss = self.model.apply(
+                        p, lb, b1, b2, deterministic=False,
+                        rngs=make_rngs(jax.random.fold_in(rng, 3 + i)))
+                    return loss, probs
+
+                (loss, probs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                return (jax.tree.map(jnp.add, gacc, grads), lacc + loss), probs
+
+            gacc0 = jax.tree.map(jnp.zeros_like, state.params)
+            lacc0 = jnp.zeros((), jnp.float32)
+            if self.micro_unroll:
+                # no scan carry: the fp32 grad accumulator isn't
+                # double-buffered and each add fuses into its producer
+                # (see PretrainTrainer's micro_unroll note)
+                carry, probs_parts = (gacc0, lacc0), []
+                for i in range(M):
+                    carry, probs_i = body(
+                        carry, tuple(jax.tree.map(lambda x: x[i], m)
+                                     for m in mb) + (jnp.int32(i),))
+                    probs_parts.append(probs_i)
+                (gsum, lsum), probs = carry, jnp.stack(probs_parts)
+            else:
+                (gsum, lsum), probs = jax.lax.scan(
+                    body, (gacc0, lacc0), mb + (jnp.arange(M),))
+            grads = jax.tree.map(lambda g: g / M, gsum)
+            loss = lsum / M
+            probs = probs.reshape((B,) + probs.shape[2:])
+            if self.skip_nonfinite:
+                new_state, _ok = state.apply_gradients_guarded(
+                    self.tx, grads)
+            else:
+                new_state = state.apply_gradients(self.tx, grads)
+            return new_state, loss, probs
+
+        fn = micro_step_fn if self.micro_steps > 1 else step_fn
+        return jax.jit(fn, donate_argnums=(0,))
 
     def _build_eval_step(self):
         def step_fn(params, label, i1, i2):
