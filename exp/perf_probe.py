@@ -43,6 +43,11 @@ if variant.endswith("_nopack"):
     cfg = cfg.replace(packed_passes=False)
     variant = variant[:-len("_nopack")]
     label_sfx = "_nopack" + label_sfx
+if variant.endswith("_sp"):
+    # shared_prefix: run the cross-free text-layer prefix once per stream
+    cfg = cfg.replace(shared_prefix=True)
+    variant = variant[:-len("_sp")]
+    label_sfx = "_sp" + label_sfx
 if variant.endswith("_pattn"):
     # fused Pallas attention: recomputes probs in backward, so the
     # [B,12,256,256] prob tensors are never saved — frees ~2 GB at micro1

@@ -98,6 +98,10 @@ def get_parser():
     # TPU-native extensions
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--n_model", default=1, type=int)
+    p.add_argument("--shared_prefix", action="store_true",
+                   help="compute the cross-free text-layer prefix once per "
+                        "stream instead of once per pass (see "
+                        "K3MConfig.shared_prefix)")
     p.add_argument("--vocab_file", default=None, type=str)
     return p
 
@@ -127,7 +131,7 @@ def main(argv=None):
         use_image=args.use_image, with_coattention=args.with_coattention,
         num_negative_image=args.num_negative_image,
         dtype="bfloat16" if args.bf16 else "float32",
-        remat=not args.no_remat,
+        remat=not args.no_remat, shared_prefix=args.shared_prefix,
         model="roberta" if "roberta" in (args.model_name or "") else "bert")
 
     if args.file_name:  # split pattern (ref finetune.py:223,240)

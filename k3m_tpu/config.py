@@ -86,6 +86,20 @@ class K3MConfig:
                                   # in_batch_pairs/fast_mode.
     ce_chunk: int = 64            # sequence chunk for the masked-CE loss so
                                   # [B, L, vocab] logits never materialize
+    shared_prefix: bool = False   # compute the cross-free text-layer prefix
+                                  # (layers [0, t_biattention_id[0]), which
+                                  # see no co-attention in ANY pass) ONCE per
+                                  # stream instead of once per pass: t's
+                                  # prefix feeds passes t<->v and t<->pv, pv's
+                                  # feeds pv<->v and pv<->t. In deterministic
+                                  # mode this is mathematically identical to
+                                  # the reference's recompute (golden-tested,
+                                  # tests/test_shared_prefix.py); in training
+                                  # it shares one dropout draw across the two
+                                  # consumers of each prefix (still unbiased
+                                  # dropout — the reference draws fresh noise
+                                  # per pass, vilbert_k3m.py:1154/1332/1510).
+                                  # Default OFF for bit-exact training parity.
     fused_qkv: bool = False       # compute each attention site's Q/K/V (and
                                   # each co-attention stream's 3 projections)
                                   # as ONE matmul over concatenated kernels.

@@ -107,11 +107,13 @@ class TriStreamEncoder(nn.Module):
     # ------------------------------------------------------------- passes
 
     def _pass_text_image(self, txt, img, txt_bias, txt_mask2, img_bias,
-                         c_layers, deterministic: bool):
+                         c_layers, deterministic: bool, t_start: int = 0):
         """Shared body of calculate_for_text_img / calculate_for_pv_img;
-        `c_layers` selects c_layer (t<->v) or c_layer_pv_v (pv<->v)."""
+        `c_layers` selects c_layer (t<->v) or c_layer_pv_v (pv<->v).
+        `t_start` > 0 means `txt` already carries the output of text layers
+        [0, t_start) (the shared_prefix path)."""
         cfg = self.config
-        v_start = t_start = 0
+        v_start = 0
         for count, (v_end, t_end) in enumerate(
                 zip(cfg.v_biattention_id, cfg.t_biattention_id)):
             txt = self._run_text(txt, txt_bias, t_start, t_end, deterministic)
@@ -139,11 +141,14 @@ class TriStreamEncoder(nn.Module):
                              deterministic)
         return txt, img
 
-    def _pass_two_text(self, txt, pv, txt_bias, pv_bias, deterministic: bool):
+    def _pass_two_text(self, txt, pv, txt_bias, pv_bias, deterministic: bool,
+                       start: int = 0):
         """calculate_for_two_text (ref :1510-1684): pv runs on the TEXT stack;
-        the schedule zips t_biattention_id with itself (ref :1534)."""
+        the schedule zips t_biattention_id with itself (ref :1534).
+        `start` > 0 means both streams already carry the output of text
+        layers [0, start) (the shared_prefix path)."""
         cfg = self.config
-        v_start = t_start = 0
+        v_start = t_start = start
         for count, t_end in enumerate(cfg.t_biattention_id):
             txt = self._run_text(txt, txt_bias, t_start, t_end, deterministic)
             pv = self._run_text(pv, pv_bias, v_start, t_end, deterministic)
@@ -260,15 +265,27 @@ class TriStreamEncoder(nn.Module):
             return self._fused_passes(
                 txt_emb, img_emb, txt_bias, txt_mask2, img_bias,
                 pv_emb, pv_bias, pv_mask2, deterministic)
+        # shared_prefix: text layers [0, t_biattention_id[0]) see no
+        # co-attention in any pass, so each stream's prefix output is the
+        # same computation in both passes that consume it — run it once.
+        # (The reference recomputes it per pass; in deterministic mode the
+        # results are identical, in training only dropout draws differ.)
+        pre = 0
+        if cfg.shared_prefix and cfg.with_coattention:
+            pre = cfg.t_biattention_id[0]
+            txt_emb = self._run_text(txt_emb, txt_bias, 0, pre, deterministic)
+            pv_emb = self._run_text(pv_emb, pv_bias, 0, pre, deterministic)
         if cfg.use_image:
             t_with_v, v_with_t = self._pass_text_image(
                 txt_emb, img_emb, txt_bias, txt_mask2, img_bias,
-                self.c_layer if cfg.with_coattention else None, deterministic)
+                self.c_layer if cfg.with_coattention else None, deterministic,
+                t_start=pre)
             pv_with_v, v_with_pv = self._pass_text_image(
                 pv_emb, img_emb, pv_bias, pv_mask2, img_bias,
-                self.c_layer_pv_v if cfg.with_coattention else None, deterministic)
+                self.c_layer_pv_v if cfg.with_coattention else None,
+                deterministic, t_start=pre)
         else:
             t_with_v = v_with_t = pv_with_v = v_with_pv = None
         t_with_pv, pv_with_t = self._pass_two_text(
-            txt_emb, pv_emb, txt_bias, pv_bias, deterministic)
+            txt_emb, pv_emb, txt_bias, pv_bias, deterministic, start=pre)
         return t_with_v, v_with_t, pv_with_v, v_with_pv, t_with_pv, pv_with_t

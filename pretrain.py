@@ -96,6 +96,10 @@ def get_parser():
     # TPU-native extensions
     p.add_argument("--n_model", default=1, type=int)
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--shared_prefix", action="store_true",
+                   help="compute the cross-free text-layer prefix once per "
+                        "stream instead of once per pass (see "
+                        "K3MConfig.shared_prefix)")
     p.add_argument("--vocab_file", default=None, type=str)
     return p
 
@@ -130,7 +134,7 @@ def main(argv=None):
         num_negative_pv=args.num_negative_pv, margin=args.margin,
         use_image=args.use_image,
         dtype="bfloat16" if (args.fp16 or args.bf16) else "float32",
-        use_pallas=args.use_pallas,
+        use_pallas=args.use_pallas, shared_prefix=args.shared_prefix,
         model="roberta" if "roberta" in (args.model_name or "") else "bert")
     if args.visual_target != 0:
         overrides["v_target_size"] = config.v_feature_size

@@ -1,0 +1,77 @@
+"""shared_prefix (config.shared_prefix) equals the per-pass recompute in
+deterministic mode: text layers [0, t_biattention_id[0]) see no co-attention
+in ANY of the three passes (reference schedule, vilbert_k3m.py:1180/1534
+with t_biattention_id=[6..11]), so running each stream's prefix once and
+feeding both consuming passes is the same computation the reference performs
+twice per stream (vilbert_k3m.py:1154/1332/1510).
+
+In training mode only the dropout draws differ (one draw per prefix instead
+of one per pass) — checked separately: the loss stays finite and close, and
+gradients flow to every parameter.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from conftest import make_pretrain_batch
+from k3m_tpu.model.pretrain import K3MForPretraining
+
+RNGS = {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1),
+        "lpm": jax.random.PRNGKey(2)}
+APPLY_RNGS = {"gumbel": jax.random.PRNGKey(1), "lpm": jax.random.PRNGKey(2)}
+
+
+def _outputs(cfg, batch, deterministic=True, dropout_seed=None):
+    model = K3MForPretraining(cfg)
+    params = model.init(RNGS, batch, deterministic=True)
+    rngs = dict(APPLY_RNGS)
+    if dropout_seed is not None:
+        rngs["dropout"] = jax.random.PRNGKey(dropout_seed)
+    out = model.apply(params, batch, deterministic=deterministic, rngs=rngs)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+@pytest.mark.parametrize("variant", [
+    {}, {"use_image": False}, {"dynamic_attention": True},
+    {"fixed_t_layer": 3, "fixed_v_layer": 1}, {"if_pre_sampling": 0},
+])
+def test_shared_prefix_equals_recompute_deterministic(tiny_config, variant):
+    batch = make_pretrain_batch(tiny_config)
+    ref = _outputs(tiny_config.replace(shared_prefix=False, **variant), batch)
+    got = _outputs(tiny_config.replace(shared_prefix=True, **variant), batch)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], atol=1e-5, rtol=1e-5,
+                                   err_msg=f"{variant} output {k}")
+
+
+def test_shared_prefix_training_mode_sane(tiny_config):
+    """With dropout live the prefix draw is shared across its two consumers —
+    not bit-equal to the reference, but the loss must stay in the same range
+    and every parameter must still receive gradient."""
+    cfg = tiny_config.replace(shared_prefix=True)
+    batch = make_pretrain_batch(cfg)
+    model = K3MForPretraining(cfg)
+    params = model.init(RNGS, batch, deterministic=True)
+    rngs = dict(APPLY_RNGS, dropout=jax.random.PRNGKey(7))
+
+    def loss_fn(p):
+        out = model.apply(p, batch, deterministic=False, rngs=rngs)
+        return (out["masked_lm_loss"] + out["masked_img_loss"]
+                + out["masked_lm_loss_pv"] + out["loss_struc"])
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    # reference-path loss on the same batch/draws for a range check
+    ref_model = K3MForPretraining(tiny_config)
+    ref_loss = ref_model.apply(params, batch, deterministic=False, rngs=rngs)
+    ref_total = float(ref_loss["masked_lm_loss"] + ref_loss["masked_img_loss"]
+                      + ref_loss["masked_lm_loss_pv"] + ref_loss["loss_struc"])
+    assert abs(float(loss) - ref_total) / max(abs(ref_total), 1e-6) < 0.25
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(g)) for g in leaves)
+    # the prefix layers themselves must receive gradient from both consumers
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    prefix_grads = [g for path, g in flat if "layer_0" in jax.tree_util.keystr(path)]
+    assert prefix_grads and any(float(np.abs(g).max()) > 0 for g in prefix_grads)

@@ -88,6 +88,10 @@ def get_parser():
     parser.add_argument("--n_model", default=1, type=int,
                         help="tensor-parallel mesh axis size")
     parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--shared_prefix", action="store_true",
+                        help="compute the cross-free text-layer prefix once "
+                             "per stream instead of once per pass (see "
+                             "K3MConfig.shared_prefix)")
     parser.add_argument("--vocab_file", default=None, type=str)
     return parser
 
@@ -116,6 +120,7 @@ def resolve_config(args):
         num_negative_image=args.num_negative,
         dtype="bfloat16" if args.bf16 else "float32",
         use_pallas=args.use_pallas,
+        shared_prefix=args.shared_prefix,
     )
     if args.visual_target != 0:
         overrides["v_target_size"] = 2048
