@@ -60,7 +60,8 @@ def peak_flops(device) -> "float | None":
     return None
 
 
-def bench_jax() -> dict:
+def bench_jax(n_data: "int | None" = None, n_model: int = 1,
+              shared_prefix: "bool | None" = None, windows: int = 3) -> dict:
     import jax
     from k3m_tpu.config import K3MConfig
     from k3m_tpu.train import mesh as mesh_lib
@@ -78,17 +79,25 @@ def bench_jax() -> dict:
     # tests/test_shared_prefix.py; in training the two consumers share one
     # dropout draw — still unbiased dropout). Measured r2: 182.0 vs 155.6
     # samples/s/chip at micro_steps=4 (49.1 vs 58.7 TF/step).
+    if shared_prefix is None:
+        shared_prefix = bool(int(os.environ.get("K3M_BENCH_SP", "1")))
     cfg = K3MConfig().replace(
         dtype="bfloat16",
         remat=(micro <= 1),
-        shared_prefix=bool(int(os.environ.get("K3M_BENCH_SP", "1"))),
+        shared_prefix=shared_prefix,
         use_pallas=bool(int(os.environ.get("K3M_BENCH_PALLAS", "0"))))
-    n_chips = len(jax.devices())
-    batch = make_batch(cfg, BATCH * n_chips)
+    # Mesh mode (--n_data/--n_model): the day multi-chip hardware appears,
+    # the pod number is one command away; bytes-over-ICI per step are
+    # reported from the compiled HLO (k3m_tpu/utils/hlo.py).
+    if n_data is None:
+        n_data = len(jax.devices()) // n_model
+    mesh = mesh_lib.make_mesh(n_data=n_data, n_model=n_model,
+                              devices=jax.devices()[:n_data * n_model])
+    n_chips = mesh.size
+    batch = make_batch(cfg, BATCH * max(n_data, 1))
     trainer = PretrainTrainer(
         cfg, learning_rate=1e-4, warmup_steps=10, total_steps=1000,
-        sample_batch=batch, micro_steps=micro,
-        mesh=mesh_lib.make_mesh(n_model=1))
+        sample_batch=batch, micro_steps=micro, mesh=mesh)
     # stage the batch on device ONCE: this measures the train step itself.
     # (In training, per-step H2D overlaps with compute via async dispatch;
     # in this environment the chip sits behind a network tunnel, so an
@@ -100,16 +109,17 @@ def bench_jax() -> dict:
     # device_get, NOT block_until_ready: over the axon tunnel the latter
     # intermittently returns before remote completion (phantom ~10ms steps)
     jax.device_get(m["loss"])
-    # median of 3 windows — the tunneled chip shows run-to-run variance
+    samples_per_step = BATCH * max(n_data, 1)
+    # median of `windows` — the tunneled chip shows run-to-run variance
     rates = []
-    for _ in range(3):
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             m = trainer.train_step(db)
         jax.device_get(m["loss"])
         dt = time.perf_counter() - t0
-        rates.append((BATCH * n_chips * ITERS) / dt / n_chips)
-    value = sorted(rates)[1]
+        rates.append(samples_per_step * ITERS / dt / n_chips)
+    value = sorted(rates)[len(rates) // 2]
 
     # MFU: XLA's own flop count for the compiled step (fwd+bwd+AdamW over
     # batch*n_chips samples) against the chip's peak bf16 rate.
@@ -120,9 +130,10 @@ def bench_jax() -> dict:
     # `micro` to report the true executed flops (the optimizer update, ~6 GF,
     # is triple-counted by this; negligible).
     flops_per_step = mfu = None
+    ici = None
     try:
-        cost = (trainer._train_step.lower(trainer.state, db)
-                .compile().cost_analysis())
+        compiled = trainer._train_step.lower(trainer.state, db).compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0)) or None
@@ -130,11 +141,98 @@ def bench_jax() -> dict:
             flops_per_step *= micro
         peak = peak_flops(jax.devices()[0])
         if flops_per_step and peak:
-            steps_per_sec_per_chip = value / (BATCH)
+            steps_per_sec_per_chip = value * n_chips / samples_per_step
             mfu = (flops_per_step / n_chips) * steps_per_sec_per_chip / peak
+        if n_chips > 1:
+            from k3m_tpu.utils import hlo
+            ici = hlo.collective_bytes(compiled.as_text())
     except Exception as e:  # cost analysis is best-effort diagnostics
         print(f"# cost analysis unavailable: {e}", file=sys.stderr)
-    return {"value": value, "flops_per_step": flops_per_step, "mfu": mfu}
+    return {"value": value, "flops_per_step": flops_per_step, "mfu": mfu,
+            "mesh": f"{n_data}x{n_model}", "ici_bytes_per_step": ici}
+
+
+def bench_finetune() -> "float | None":
+    """Staged-batch item-alignment train-step rate (pairs/sec/chip) at the
+    reference finetune configuration (batch 32, loss_type ce,
+    run_finetune_item_alignment.sh:17-43). Twin tower at batch 32 needs
+    per-layer remat OR in-step microbatching; micro_steps=3 + remat-off is
+    the measured-faster lever (exp/finetune_throughput.py)."""
+    import jax
+    from __graft_entry__ import _make_batch
+    from k3m_tpu.config import K3MConfig
+    from k3m_tpu.train import mesh as mesh_lib
+    from k3m_tpu.train.alignment_loop import AlignmentTrainer, device_item
+
+    micro = int(os.environ.get("K3M_BENCH_FT_MICRO", "3"))
+    cfg = K3MConfig().replace(dtype="bfloat16", loss_type="ce",
+                              remat=(micro == 1))
+    B = 32
+    i1 = device_item(_make_batch(cfg, B=B, L=SEQ_T, Lpv=SEQ_PV, R=REGIONS,
+                                 P=NUM_PV, seed=1))
+    i2 = device_item(_make_batch(cfg, B=B, L=SEQ_T, Lpv=SEQ_PV, R=REGIONS,
+                                 P=NUM_PV, seed=2))
+    batch = dict(label=(np.arange(B) % 2).astype(np.int32), item1=i1,
+                 item2=i2)
+    trainer = AlignmentTrainer(cfg, learning_rate=5e-5, warmup_steps=10,
+                               total_steps=1000, sample_batch=batch,
+                               micro_steps=micro,
+                               mesh=mesh_lib.make_mesh(n_model=1))
+    db = trainer._shard(batch)
+    loss, _ = trainer.train_step(db)   # compile
+    jax.device_get(loss)
+    iters = 10
+    rates = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            loss, _ = trainer.train_step(db)
+        jax.device_get(loss)
+        rates.append(B * iters / (time.perf_counter() - t0))
+    return max(rates)
+
+
+def bench_e2e(n_records: int = 1152) -> "float | None":
+    """fit()-path rate: real loader (native C++ producer) -> prefetched H2D
+    -> train step, over full-size records. The honest what-a-user-gets
+    number; its gap to the staged rate is the input pipeline + tunnel."""
+    import jax
+    from exp.input_throughput import SHAPES, make_records
+    from k3m_tpu.config import K3MConfig
+    from k3m_tpu.data.pipeline import PretrainLoader
+    from k3m_tpu.tokenization import get_tokenizer
+    from k3m_tpu.train import mesh as mesh_lib
+    from k3m_tpu.train.pretrain_loop import PretrainTrainer
+
+    base = "/tmp/k3m_input_bench"
+    os.makedirs(base, exist_ok=True)
+    k3mr = os.path.join(base, f"feat_{n_records}.k3mr")
+    ar = os.path.join(base, f"feat_{n_records}.array_record")
+    if not os.path.exists(k3mr):
+        make_records(k3mr, ar, n_records)
+    micro = int(os.environ.get("K3M_BENCH_MICRO", "4"))
+    cfg = K3MConfig().replace(
+        dtype="bfloat16", remat=(micro <= 1),
+        shared_prefix=bool(int(os.environ.get("K3M_BENCH_SP", "1"))))
+    loader = PretrainLoader(k3mr, get_tokenizer(), SHAPES, batch_size=BATCH,
+                            shuffle=True, seed=0, drop_last=True)
+    sample = next(iter(loader))
+    trainer = PretrainTrainer(
+        cfg, learning_rate=1e-4, warmup_steps=10, total_steps=1000,
+        sample_batch=sample, micro_steps=micro,
+        mesh=mesh_lib.make_mesh(n_model=1))
+    m = trainer.train_step(sample)     # compile + warm producer
+    jax.device_get(m["loss"])
+    it = trainer.prefetch_to_device(iter(loader))
+    m = trainer.train_step(next(it))
+    jax.device_get(m["loss"])
+    t0 = time.perf_counter()
+    n = 0
+    for batch in it:
+        m = trainer.train_step(batch)
+        n += batch["input_ids"].shape[0]
+    jax.device_get(m["loss"])
+    return n / (time.perf_counter() - t0) if n else None
 
 
 def measure_torch_reference_cpu() -> "float | None":
@@ -242,9 +340,21 @@ def load_baseline() -> float | None:
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_data", type=int, default=None,
+                    help="data-parallel mesh rows (default: all devices)")
+    ap.add_argument("--n_model", type=int, default=1,
+                    help="tensor-parallel mesh columns")
+    ap.add_argument("--fast", action="store_true",
+                    help="headline pretrain number only (skip bit-exact/"
+                         "finetune/e2e companions)")
+    args = ap.parse_args()
+
     from k3m_tpu.utils.jax_setup import setup_jax
     setup_jax()
-    res = bench_jax()
+    res = bench_jax(n_data=args.n_data, n_model=args.n_model)
     value = res["value"]
     baseline = load_baseline()
     baseline_kind = "file"
@@ -258,14 +368,52 @@ def main():
                            "note": "torch reference full train step on this "
                                    "host's CPU (no GPU in this environment); "
                                    "ours runs on 1x v5e"}, f)
+
+    # Companion metrics (same JSON line so every BENCH_r{N}.json carries
+    # them): bit-exact-to-reference pretrain rate (shared_prefix off — one
+    # dropout draw per pass exactly like the reference), finetune pairs/s,
+    # and the end-to-end fit() fraction of the staged headline. Each is
+    # best-effort: a failure degrades to null, never kills the bench.
+    extras = {}
+    fast = args.fast or bool(int(os.environ.get("K3M_BENCH_FAST", "0")))
+    if not fast and args.n_model == 1:
+        try:
+            extras["bit_exact_value"] = round(
+                bench_jax(n_data=args.n_data, shared_prefix=False,
+                          windows=2)["value"], 2)
+        except Exception as e:
+            print(f"# bit-exact bench failed: {e}", file=sys.stderr)
+            extras["bit_exact_value"] = None
+        try:
+            ft = bench_finetune()
+            extras["finetune_pairs_per_sec"] = round(ft, 2) if ft else None
+        except Exception as e:
+            print(f"# finetune bench failed: {e}", file=sys.stderr)
+            extras["finetune_pairs_per_sec"] = None
+        try:
+            e2e = bench_e2e()
+            extras["e2e_samples_per_sec"] = round(e2e, 2) if e2e else None
+            extras["e2e_fraction"] = round(e2e / value, 3) if e2e else None
+        except Exception as e:
+            print(f"# e2e bench failed: {e}", file=sys.stderr)
+            extras["e2e_samples_per_sec"] = extras["e2e_fraction"] = None
+
     out = {
         "metric": "k3m_pretrain_samples_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "samples/sec/chip",
+        # ratio to the torch reference measured on this host's CPU — the
+        # only hardware it can run on here. Honest apples-to-apples
+        # (V100-class GPU) estimate is ~15-20x; see README Performance.
         "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "baseline_kind": baseline_kind,
         "flops_per_step": res["flops_per_step"],
         "mfu": round(res["mfu"], 4) if res["mfu"] else None,
+        "mesh": res["mesh"],
+        **extras,
     }
+    if res.get("ici_bytes_per_step"):
+        out["ici_bytes_per_step"] = res["ici_bytes_per_step"]
     print(json.dumps(out))
 
 

@@ -208,7 +208,52 @@ def _pad_len(L: int, m: int = 8) -> int:
 def padded_fused_attention(q, k, v, bias, seed=0, *, dropout_rate: float = 0.0,
                            interpret: bool = False):
     """fused_attention with automatic seq-length padding to sublane multiples;
-    padded key positions get bias -10000, padded query rows are sliced off."""
+    padded key positions get bias -10000, padded query rows are sliced off.
+
+    Mesh-safe: inside a trainer's `kernel_mesh_scope` on a >1-device mesh
+    the call is shard_mapped over the batch ('data') axis — and over the
+    head ('model') axis too when heads divide, matching the column-parallel
+    QKV sharding — so GSPMD never has to all-gather the operands around the
+    partitioning-rule-less custom call (kernels/sharding.py). Per-shard
+    dropout seeds are decorrelated by folding in the mesh coordinates."""
+    from jax.sharding import PartitionSpec as P
+
+    from k3m_tpu.kernels import sharding as ksh
+
+    mesh = ksh.current_kernel_mesh()
+    if mesh is not None and q.shape[0] % ksh.batch_shards(mesh) == 0:
+        B, H, _, _ = q.shape
+        Lk = k.shape[2]
+        nm = ksh.model_shards(mesh)
+        shard_heads = nm > 1 and H % nm == 0
+        hax = "model" if shard_heads else None
+        qspec = P("data", hax, None, None)
+        bspec = P("data", None, None, None)
+        axes = {"data", "model"} if shard_heads else {"data"}
+
+        def body(qq, kk, vv, bb, ss):
+            s = ss
+            if dropout_rate > 0.0:
+                s = s + jax.lax.axis_index("data") * jnp.int32(1000003)
+                if shard_heads:
+                    s = s + jax.lax.axis_index("model") * jnp.int32(7919)
+            return _padded_fused_attention_local(
+                qq, kk, vv, bb, s, dropout_rate=dropout_rate,
+                interpret=interpret)
+
+        fn = jax.shard_map(body, mesh=mesh,
+                           in_specs=(qspec, qspec, qspec, bspec, P()),
+                           out_specs=qspec, axis_names=axes, check_vma=False)
+        return fn(q, k, v, jnp.broadcast_to(bias, (B, 1, 1, Lk)),
+                  jnp.asarray(seed, jnp.int32))
+    return _padded_fused_attention_local(q, k, v, bias, seed,
+                                         dropout_rate=dropout_rate,
+                                         interpret=interpret)
+
+
+def _padded_fused_attention_local(q, k, v, bias, seed=0, *,
+                                  dropout_rate: float = 0.0,
+                                  interpret: bool = False):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     Lqp, Lkp = _pad_len(Lq), _pad_len(Lk)

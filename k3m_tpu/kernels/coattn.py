@@ -63,6 +63,53 @@ def _pad_len(L: int, m: int = 8) -> int:
 def padded_fused_biattention(q1, k1, v1, bias1, q2, k2, v2, bias2, seed=0, *,
                              dropout1: float = 0.0, dropout2: float = 0.0,
                              interpret: bool = False):
+    """Mesh-safe wrapper (see kernels/sharding.py): under an active
+    kernel mesh the bi-attention kernel is shard_mapped over 'data' (and
+    'model' across heads when they divide) so GSPMD never all-gathers the
+    six projections around the custom call."""
+    from jax.sharding import PartitionSpec as P
+
+    from k3m_tpu.kernels import sharding as ksh
+
+    mesh = ksh.current_kernel_mesh()
+    if mesh is not None and q1.shape[0] % ksh.batch_shards(mesh) == 0:
+        B, H, L1, _ = q1.shape
+        L2 = q2.shape[2]
+        nm = ksh.model_shards(mesh)
+        shard_heads = nm > 1 and H % nm == 0
+        hax = "model" if shard_heads else None
+        qspec = P("data", hax, None, None)
+        bspec = P("data", None, None, None)
+        axes = {"data", "model"} if shard_heads else {"data"}
+        has_drop = dropout1 > 0.0 or dropout2 > 0.0
+
+        def body(qq1, kk1, vv1, bb1, qq2, kk2, vv2, bb2, ss):
+            s = ss
+            if has_drop:
+                s = s + jax.lax.axis_index("data") * jnp.int32(1000003)
+                if shard_heads:
+                    s = s + jax.lax.axis_index("model") * jnp.int32(104729)
+            return _padded_fused_biattention_local(
+                qq1, kk1, vv1, bb1, qq2, kk2, vv2, bb2, s,
+                dropout1=dropout1, dropout2=dropout2, interpret=interpret)
+
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(qspec, qspec, qspec, bspec,
+                      qspec, qspec, qspec, bspec, P()),
+            out_specs=(qspec, qspec), axis_names=axes, check_vma=False)
+        return fn(q1, k1, v1, jnp.broadcast_to(bias1, (B, 1, 1, L1)),
+                  q2, k2, v2, jnp.broadcast_to(bias2, (B, 1, 1, L2)),
+                  jnp.asarray(seed, jnp.int32))
+    return _padded_fused_biattention_local(
+        q1, k1, v1, bias1, q2, k2, v2, bias2, seed,
+        dropout1=dropout1, dropout2=dropout2, interpret=interpret)
+
+
+def _padded_fused_biattention_local(q1, k1, v1, bias1, q2, k2, v2, bias2,
+                                    seed=0, *, dropout1: float = 0.0,
+                                    dropout2: float = 0.0,
+                                    interpret: bool = False):
     B, H, L1, D = q1.shape
     L2 = q2.shape[2]
     L1p, L2p = _pad_len(L1), _pad_len(L2)

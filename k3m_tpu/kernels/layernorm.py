@@ -160,6 +160,24 @@ def _fused_ln_bwd(eps, out_dtype, interpret, saved, dy):
 _fused_ln.defvjp(_fused_ln_fwd, _fused_ln_bwd)
 
 
+def _fused_ln_local(x, residual, scale, bias, eps, out_dtype, interpret):
+    """Single-device fused LN over whatever rows this device holds."""
+    orig_shape = x.shape
+    N = orig_shape[-1]
+    R = x.size // N
+    x2 = x.reshape(R, N)
+    res2 = residual.reshape(R, N) if residual is not None else None
+    pad = (-R) % BLOCK_ROWS
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        if res2 is not None:
+            res2 = jnp.pad(res2, ((0, pad), (0, 0)))
+    out = _fused_ln(x2, res2, scale, bias, eps, out_dtype, interpret)
+    if pad:
+        out = out[:R]
+    return out.reshape(orig_shape[:-1] + (N,))
+
+
 def fused_layernorm(x, scale, bias, residual=None, *, eps: float = 1e-12,
                     out_dtype=None, interpret: bool = False):
     """LayerNorm((x + residual)) over the last axis. x/residual [..., N] in
@@ -168,21 +186,34 @@ def fused_layernorm(x, scale, bias, residual=None, *, eps: float = 1e-12,
     sum is written back to HBM once, in bf16. Rows are padded to the kernel
     block internally; padded rows never affect real rows or parameter
     gradients (their dy is hard zero via the slice VJP, and reconstruction
-    keeps their xhat finite: padded y rows are exactly `bias`)."""
-    orig_shape = x.shape
-    N = orig_shape[-1]
-    R = x.size // N
+    keeps their xhat finite: padded y rows are exactly `bias`).
+
+    Mesh-safe: inside a trainer's `kernel_mesh_scope` on a >1-device mesh
+    the kernel is shard_mapped over the batch ('data') axis — each device
+    normalizes its local rows; dscale/dbias psums ride the existing grad
+    all-reduce (see kernels/sharding.py). Falls back to this single-device
+    body when no mesh is active or the batch doesn't divide."""
+    from k3m_tpu.kernels import sharding as ksh
+
+    N = x.shape[-1]
     out_dtype = jnp.dtype(out_dtype) if out_dtype is not None else x.dtype
-    x2 = x.reshape(R, N)
-    res2 = residual.reshape(R, N) if residual is not None else None
-    pad = (-R) % BLOCK_ROWS
-    if pad:
-        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-        if res2 is not None:
-            res2 = jnp.pad(res2, ((0, pad), (0, 0)))
-    out = _fused_ln(x2, res2, scale.reshape(1, N),
-                    bias.reshape(1, N).astype(jnp.float32), eps, out_dtype,
-                    interpret)
-    if pad:
-        out = out[:R]
-    return out.reshape(orig_shape[:-1] + (N,))
+    scale2 = scale.reshape(1, N)
+    bias2 = bias.reshape(1, N).astype(jnp.float32)
+
+    mesh = ksh.current_kernel_mesh()
+    if (mesh is not None and x.ndim >= 2
+            and x.shape[0] % ksh.batch_shards(mesh) == 0):
+        if residual is not None:
+            body = lambda xx, rr, ss, bb: _fused_ln_local(
+                xx, rr, ss, bb, eps, out_dtype, interpret)
+            fn = ksh.shard_rows(body, mesh, n_args=2,
+                                ndims=(x.ndim, x.ndim, 2, 2),
+                                out_ndim=x.ndim)
+            return fn(x, residual, scale2, bias2)
+        body = lambda xx, ss, bb: _fused_ln_local(
+            xx, None, ss, bb, eps, out_dtype, interpret)
+        fn = ksh.shard_rows(body, mesh, n_args=1, ndims=(x.ndim, 2, 2),
+                            out_ndim=x.ndim)
+        return fn(x, scale2, bias2)
+    return _fused_ln_local(x, residual, scale2, bias2, eps, out_dtype,
+                           interpret)

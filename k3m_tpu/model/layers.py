@@ -15,6 +15,7 @@ Pallas fused-attention path is plumbed via `config.use_pallas`
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -62,10 +63,15 @@ class LayerNorm(nn.Module):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
-        if self.fused and jax.default_backend() == "tpu":
-            from k3m_tpu.kernels.layernorm import fused_layernorm
-            return fused_layernorm(x, scale, bias, residual, eps=self.eps,
-                                   out_dtype=self.dtype)
+        if self.fused:
+            on_tpu = jax.default_backend() == "tpu"
+            # K3M_LN_INTERPRET=1 exercises the (mesh-sharded) Pallas path in
+            # interpret mode on CPU — used by the multi-device parity tests.
+            if on_tpu or os.environ.get("K3M_LN_INTERPRET") == "1":
+                from k3m_tpu.kernels.layernorm import fused_layernorm
+                return fused_layernorm(x, scale, bias, residual, eps=self.eps,
+                                       out_dtype=self.dtype,
+                                       interpret=not on_tpu)
         xf = x.astype(jnp.float32)
         if residual is not None:
             xf = xf + residual.astype(jnp.float32)

@@ -81,6 +81,34 @@ def _is_cjk(cp: int) -> bool:
     )
 
 
+def _validate_vocab_layout(vocab_list: List[str], path: str) -> None:
+    """Fail loudly if a user-supplied vocab.txt breaks the reference's hard
+    id contracts (first-real-asset-run guard, VERDICT r2 §4):
+
+      * pv masking/span indexing is keyed on raw ids 131=':' and 132=';'
+        (reference concept_cap_dataset_struc.py:785-840) — a vocab with a
+        different layout silently corrupts every pv span;
+      * special-token layout of bert-base-chinese/roberta-wwm-ext:
+        [PAD]=0 [UNK]=100 [CLS]=101 [SEP]=102 [MASK]=103.
+
+    Set K3M_SKIP_VOCAB_CHECK=1 only for deliberately non-BERT-Chinese
+    vocabularies (then pv masking semantics are the caller's problem)."""
+    if os.environ.get("K3M_SKIP_VOCAB_CHECK"):
+        return
+    expected = {0: PAD_TOKEN, 100: UNK_TOKEN, 101: CLS_TOKEN, 102: SEP_TOKEN,
+                103: MASK_TOKEN, 131: ":", 132: ";"}
+    problems = []
+    for idx, tok in expected.items():
+        got = vocab_list[idx] if idx < len(vocab_list) else "<missing>"
+        if got != tok:
+            problems.append(f"id {idx}: expected {tok!r}, got {got!r}")
+    if problems:
+        raise ValueError(
+            f"{path} does not have the bert-base-chinese id layout the "
+            f"reference's pv masking depends on: {'; '.join(problems)} "
+            f"(set K3M_SKIP_VOCAB_CHECK=1 to override)")
+
+
 class WordPieceTokenizer:
     """BasicTokenizer + WordPiece, matching HF BertTokenizer behaviour.
 
@@ -93,9 +121,16 @@ class WordPieceTokenizer:
                  do_lower_case: bool = True,
                  max_chars_per_word: int = 100,
                  char_fallback: Optional[bool] = None):
-        if vocab_file is not None and os.path.exists(vocab_file):
+        if vocab_file is not None:
+            if not os.path.exists(vocab_file):
+                # never silently fall back to the synthetic vocab when the
+                # user asked for a real one — a typo'd path would otherwise
+                # train on wrong token ids without a peep
+                raise FileNotFoundError(
+                    f"--vocab_file {vocab_file} does not exist")
             with open(vocab_file, encoding="utf-8") as f:
                 self.vocab_list = [line.rstrip("\n") for line in f]
+            _validate_vocab_layout(self.vocab_list, vocab_file)
             # Real vocab: HF-exact WordPiece (whole token -> [UNK] when
             # greedy matching fails), byte-identical to BertTokenizer.
             self.char_fallback = bool(char_fallback) if char_fallback is not None else False

@@ -97,12 +97,14 @@ class AlignmentTrainer:
         i2 = device_item(sample_batch["item2"])
         init_rngs = {"params": self.base_rng,
                      "gumbel": jax.random.fold_in(self.base_rng, 1)}
-        shapes = jax.eval_shape(lambda: self.model.init(
-            init_rngs, label, i1, i2, deterministic=True))
-        p_shardings = mesh_lib.params_shardings(shapes, self.mesh)
-        params = jax.jit(lambda: self.model.init(
-            init_rngs, label, i1, i2, deterministic=True),
-            out_shardings=p_shardings)()
+        from k3m_tpu.kernels.sharding import kernel_mesh_scope
+        with kernel_mesh_scope(self.mesh):
+            shapes = jax.eval_shape(lambda: self.model.init(
+                init_rngs, label, i1, i2, deterministic=True))
+            p_shardings = mesh_lib.params_shardings(shapes, self.mesh)
+            params = jax.jit(lambda: self.model.init(
+                init_rngs, label, i1, i2, deterministic=True),
+                out_shardings=p_shardings)()
         self.tx = make_optimizer(params, learning_rate, warmup_steps,
                                  total_steps,
                                  grad_accum_steps=grad_accum_steps,
@@ -187,11 +189,21 @@ class AlignmentTrainer:
             return new_state, loss, probs
 
         fn = micro_step_fn if self.micro_steps > 1 else step_fn
-        return jax.jit(fn, donate_argnums=(0,))
+
+        def traced(state, label, i1, i2):
+            # publish the mesh to the Pallas kernels while tracing
+            from k3m_tpu.kernels.sharding import kernel_mesh_scope
+            with kernel_mesh_scope(self.mesh):
+                return fn(state, label, i1, i2)
+
+        return jax.jit(traced, donate_argnums=(0,))
 
     def _build_eval_step(self):
         def step_fn(params, label, i1, i2):
-            return self.model.apply(params, label, i1, i2, deterministic=True)
+            from k3m_tpu.kernels.sharding import kernel_mesh_scope
+            with kernel_mesh_scope(self.mesh):
+                return self.model.apply(params, label, i1, i2,
+                                        deterministic=True)
         return jax.jit(step_fn)
 
     def _shard(self, batch):

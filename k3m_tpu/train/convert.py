@@ -274,9 +274,63 @@ def merge_flat_into_params(params, flat: Dict[str, np.ndarray]
     return tree, loaded, skipped
 
 
-def load_pretrained_into_params(params, torch_path: str):
+# Source state-dict keys a strict load may leave unconsumed: the
+# reference's own dead parameters (see model docstrings + PARITY.md) and
+# HF-checkpoint bookkeeping. Anything else unconsumed is a silent-breakage
+# risk (renamed key, layout drift) and fails loudly under strict=True.
+_IGNORABLE_SOURCE_RE = re.compile(
+    "|".join((
+        r"(^|\.)t_pooler\.",            # computed-but-unused CLS poolers
+        r"(^|\.)v_pooler\.",            #   (model/pretrain.py:6-13)
+        r"(^|\.)pooler\.",              # HF BertPooler (NSP head input)
+        r"q_dense\d",                   # dead BiOutput projections
+        r"map_individual_to_bi",        # dead fusion projection
+        r"bi_seq_relationship",         # dead twin head
+        r"vis_criterion",               # loss module buffer
+        r"(^|\.)position_ids$",         # HF non-param buffer
+        r"cls\.predictions\.decoder\.weight$",  # tied-embedding alias
+        r"cls\.seq_relationship_",      # HF NSP variants
+        r"(^|\.)LayerNorm\.gamma$",     # pre-2019 HF naming (handled via
+        r"(^|\.)LayerNorm\.beta$",      #   weight/bias in modern dumps)
+    )))
+
+
+def source_coverage(sd: Dict[str, np.ndarray],
+                    loaded_flax_paths: Set[str],
+                    trunk: str = "trunk") -> Tuple[Set[str], Set[str]]:
+    """Partition source keys into (consumed, unconsumed-and-not-ignorable).
+
+    Provenance comes from replaying reference_to_flat over a SYMBOLIC copy
+    of the actual source keys, so it cannot drift from the real mapping."""
+    sym = {k: _Sym(k) for k in sd}
+    mapping = reference_to_flat(sym, trunk=trunk)   # flax path -> _Sym(src)
+    consumed = {v.name for p, v in mapping.items() if p in loaded_flax_paths}
+    leftovers = {
+        k for k in sd
+        if k not in consumed
+        and _strip_prefix(k) not in consumed
+        and not _IGNORABLE_SOURCE_RE.search(k)}
+    return consumed, leftovers
+
+
+def load_pretrained_into_params(params, torch_path: str, *,
+                                strict: bool = False,
+                                require_complete: bool = False,
+                                allowed_unconsumed: Tuple[str, ...] = ()):
     """Load a pretrained checkpoint (torch .bin or TF checkpoint prefix —
-    auto-detected, reference from_pretrained's from_tf branch) into params."""
+    auto-detected, reference from_pretrained's from_tf branch) into params.
+
+    strict=True          — fail loudly if ANY source tensor is neither
+                           loaded into the flax tree nor on the documented
+                           dead/bookkeeping ignore list, or if any mapped
+                           tensor was dropped for a shape mismatch. This is
+                           the first-real-asset-run guard (VERDICT r2 §4):
+                           a renamed or missed key in a real
+                           pytorch_model.bin cannot pass silently.
+    require_complete=True — additionally fail if any flax param was NOT
+                           written by the checkpoint (full reference K3M
+                           .bin loads; partial HF text-stream loads must
+                           leave this False)."""
     if is_tf_checkpoint(torch_path):
         sd = load_tf_state_dict(torch_path.replace(".index", ""))
     else:
@@ -285,6 +339,27 @@ def load_pretrained_into_params(params, torch_path: str):
     new_params, loaded, skipped = merge_flat_into_params(params, flat)
     logger.info("loaded %d tensors from %s (%d unmatched)", len(loaded),
                 torch_path, len(skipped))
+    if strict:
+        # a source key is covered only if its mapped flax path was actually
+        # WRITTEN — unmapped keys, missing targets, and shape-mismatch
+        # drops all surface here (skipped paths are not in `loaded`)
+        _, leftovers = source_coverage(sd, loaded)
+        if allowed_unconsumed:
+            allow = re.compile("|".join(allowed_unconsumed))
+            leftovers = {k for k in leftovers if not allow.search(k)}
+        if leftovers:
+            raise ValueError(
+                f"strict load of {torch_path}: {len(leftovers)} source "
+                f"tensors not consumed (renamed key / layout drift / shape "
+                f"mismatch): {sorted(leftovers)[:8]}")
+    if require_complete:
+        inner = new_params.get("params", new_params) \
+            if isinstance(new_params, dict) else new_params
+        missing = sorted(set(_flatten(inner)) - loaded)
+        if missing:
+            raise ValueError(
+                f"checkpoint {torch_path} left {len(missing)} params "
+                f"uninitialized: {missing[:8]}")
     return new_params
 
 

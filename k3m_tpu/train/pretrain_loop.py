@@ -121,16 +121,11 @@ class PretrainTrainer:
         self.base_rng = jax.random.PRNGKey(seed)
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
             n_model=n_model)
-        # Pallas custom calls carry no GSPMD sharding rule: on a >1-device
-        # mesh the partitioner would all-gather their operands (correct but
-        # slow). Kernels stay on for the single-device mesh, off otherwise.
-        if self.mesh.size > 1 and (config.use_pallas or config.use_pallas_ln):
-            logger.info("mesh size %d > 1: disabling Pallas kernels "
-                        "(no GSPMD partitioning rule)", self.mesh.size)
-            config = config.replace(use_pallas=False, use_pallas_ln=False)
-            self.config = config
-            self.model = K3MForPretraining(config)
-
+        # Pallas custom calls carry no GSPMD sharding rule, so on a
+        # >1-device mesh every kernel call site is shard_mapped over the
+        # batch axis instead (kernels/sharding.py) — the measured
+        # use_pallas_ln lever survives pods. The mesh is published to the
+        # kernels via kernel_mesh_scope while each step is traced.
         if sample_batch is None:
             raise ValueError("sample_batch required to initialize parameters")
         self._sample_batch = sample_batch   # retained for warmup()
@@ -138,12 +133,14 @@ class PretrainTrainer:
         init_rngs = {"params": self.base_rng,
                      "gumbel": jax.random.fold_in(self.base_rng, 1),
                      "lpm": jax.random.fold_in(self.base_rng, 2)}
-        shapes = jax.eval_shape(
-            lambda: self.model.init(init_rngs, sample, deterministic=True))
-        p_shardings = mesh_lib.params_shardings(shapes, self.mesh)
-        params = jax.jit(
-            lambda: self.model.init(init_rngs, sample, deterministic=True),
-            out_shardings=p_shardings)()
+        from k3m_tpu.kernels.sharding import kernel_mesh_scope
+        with kernel_mesh_scope(self.mesh):
+            shapes = jax.eval_shape(
+                lambda: self.model.init(init_rngs, sample, deterministic=True))
+            p_shardings = mesh_lib.params_shardings(shapes, self.mesh)
+            params = jax.jit(
+                lambda: self.model.init(init_rngs, sample, deterministic=True),
+                out_shardings=p_shardings)()
         self.tx = make_optimizer(
             params, learning_rate, warmup_steps, total_steps,
             weight_decay=weight_decay, grad_accum_steps=grad_accum_steps,
@@ -258,16 +255,25 @@ class PretrainTrainer:
                 new_state = state.apply_gradients(self.tx, grads)
             return new_state, metrics
 
-        del mesh
         fn = micro_step_fn if self.micro_steps > 1 else step_fn
-        return jax.jit(fn, donate_argnums=(0,))
+
+        def traced(state, batch):
+            # publish the mesh to the Pallas kernels for the duration of
+            # tracing (shard_map partitioning; kernels/sharding.py)
+            from k3m_tpu.kernels.sharding import kernel_mesh_scope
+            with kernel_mesh_scope(mesh):
+                return fn(state, batch)
+
+        return jax.jit(traced, donate_argnums=(0,))
 
     def _build_eval_step(self):
         def step_fn(params, batch):
-            batch = apply_objective(batch, self.objective)
-            _, metrics = self._losses(
-                params, batch, rngs={}, deterministic=True)
-            return metrics
+            from k3m_tpu.kernels.sharding import kernel_mesh_scope
+            with kernel_mesh_scope(self.mesh):
+                batch = apply_objective(batch, self.objective)
+                _, metrics = self._losses(
+                    params, batch, rngs={}, deterministic=True)
+                return metrics
         return jax.jit(step_fn)
 
     # -------------------------------------------------------------- api

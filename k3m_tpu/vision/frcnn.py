@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
+import re
 from typing import Dict, Optional
 
 import jax
@@ -410,12 +411,48 @@ def _fold_bn(sd, prefix):
     return scale, b - mean * scale
 
 
-def convert_caffe_weights(sd: Dict[str, np.ndarray], params) -> Dict:
-    """Map detectron2 R101-C4 names onto our param tree. Conv weights are
-    [out,in,kh,kw] -> flax [kh,kw,in,out]."""
-    import jax
+# Source keys a strict caffe-pkl conversion may leave unconsumed:
+# bookkeeping buffers, preprocessing constants, and classification-head
+# leftovers some detectron2 exports carry. Anything else unconsumed means
+# a renamed/missed weight and fails loudly (VERDICT r2 §4).
+_CAFFE_IGNORABLE = re.compile(
+    r"num_batches_tracked|pixel_mean|pixel_std|anchor_generator"
+    r"|cell_anchors|stem\.fc|fc1000|\.momentum$")
 
+
+class _TrackedSD(dict):
+    """dict that records which keys the converter actually read."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.used = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self.used.add(k)
+        return super().get(k, default)
+
+
+def convert_caffe_weights(sd: Dict[str, np.ndarray], params,
+                          strict: bool = True) -> Dict:
+    """Map detectron2 R101-C4 names onto our param tree. Conv weights are
+    [out,in,kh,kw] -> flax [kh,kw,in,out].
+
+    strict (default ON; K3M_CAFFE_LENIENT=1 to disable): after mapping,
+    fail loudly if (a) any source tensor was never consumed (renamed key /
+    layout drift in a real faster_rcnn_from_caffe.pkl), or (b) any flax
+    param was not written (missed weight -> silent random-init garbage)."""
+    import jax
+    import jax.tree_util as jtu
+
+    strict = strict and not os.environ.get("K3M_CAFFE_LENIENT")
+    sd = _TrackedSD(sd)
     tree = jax.tree.map(np.asarray, params)
+    before = {jtu.keystr(kp): id(v)
+              for kp, v in jtu.tree_flatten_with_path(tree)[0]}
     p = tree["params"]
 
     def conv(dst, name):
@@ -465,6 +502,24 @@ def convert_caffe_weights(sd: Dict[str, np.ndarray], params) -> Dict:
         "proposal_generator.rpn_head.anchor_deltas.bias"]
     dense(p["box_predictor"]["cls_score"], "roi_heads.box_predictor.cls_score")
     dense(p["box_predictor"]["bbox_pred"], "roi_heads.box_predictor.bbox_pred")
+    if strict:
+        leftovers = sorted(k for k in sd
+                           if k not in sd.used and not _CAFFE_IGNORABLE.search(k))
+        unwritten = sorted(
+            jtu.keystr(kp)
+            for kp, v in jtu.tree_flatten_with_path(tree)[0]
+            if before[jtu.keystr(kp)] == id(v))
+        problems = []
+        if leftovers:
+            problems.append(f"{len(leftovers)} source tensors never "
+                            f"consumed: {leftovers[:6]}")
+        if unwritten:
+            problems.append(f"{len(unwritten)} flax params never written: "
+                            f"{unwritten[:6]}")
+        if problems:
+            raise ValueError(
+                "strict caffe-pkl conversion failed (set K3M_CAFFE_LENIENT=1 "
+                "to override): " + "; ".join(problems))
     return tree
 
 

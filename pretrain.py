@@ -35,6 +35,8 @@ def get_parser():
                    help="checkpoint dir to resume full state from (epoch or "
                         "mid-epoch step checkpoints; typically --output_dir)")
     p.add_argument("--file_state_dict", default="", type=str)
+    p.add_argument("--strict_load", action="store_true",
+                   help="fail loudly if any tensor in --pretrained_model_path is not consumed (real-asset first-run guard)")
     p.add_argument("--skip_nonfinite", action="store_true",
                    help="skip (don't apply) any update whose grads contain "
                         "non-finite values instead of poisoning params")
@@ -216,7 +218,11 @@ def main(argv=None):
     if args.pretrained_model_path:
         from k3m_tpu.train.convert import load_pretrained_into_params
         trainer.state = trainer.state.replace(params=load_pretrained_into_params(
-            trainer.state.params, args.pretrained_model_path))
+            trainer.state.params, args.pretrained_model_path,
+            strict=args.strict_load,
+            # HF checkpoints carry an NSP head sized for plain BERT; the
+            # K3M alignment head is bi_hidden-sized and reinitializes
+            allowed_unconsumed=(r"cls\.seq_relationship\.",)))
     if args.file_state_dict:
         from k3m_tpu.train.state import load_params_msgpack
         trainer.state = trainer.state.replace(params=load_params_msgpack(

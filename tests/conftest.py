@@ -38,6 +38,24 @@ TINY = K3MConfig(
     max_position_embeddings=64, num_negative_pv=4, if_pre_sampling=1)
 
 
+# Smallest geometry that still exercises every architectural feature
+# (tri-pass interleave, co-attention, fusion, structure/LPM): used by the
+# compile-heavy multi-device tests so the cold-start suite stays a usable
+# gate (TINY's 8-virtual-device train-step compile is minutes on this
+# 1-core host; MICRO's is ~1 min).
+MICRO = K3MConfig(
+    vocab_size=128, hidden_size=16, num_hidden_layers=2,
+    num_attention_heads=2, intermediate_size=32, v_feature_size=8,
+    v_target_size=7, v_hidden_size=16, v_num_hidden_layers=1,
+    v_num_attention_heads=2, v_intermediate_size=16, bi_hidden_size=16,
+    bi_num_attention_heads=2, v_biattention_id=(0,), t_biattention_id=(1,),
+    max_position_embeddings=32, num_negative_pv=2, if_pre_sampling=1)
+
+
+def make_micro_batch(B=8, seed=0):
+    return make_pretrain_batch(MICRO, B=B, L=8, Lpv=12, R=4, P=3, seed=seed)
+
+
 @pytest.fixture(scope="session")
 def tiny_config():
     return TINY

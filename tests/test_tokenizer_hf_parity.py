@@ -62,7 +62,14 @@ ADVERSARIAL = [
 
 @pytest.fixture(scope="module")
 def vocab_path(tmp_path_factory):
-    """Realistic vocab: bert-base-chinese layout + ## pieces + sample CJK."""
+    """Realistic vocab: bert-base-chinese layout + ## pieces + sample CJK.
+
+    K3M_VOCAB_FILE=<path> reruns the whole parity grid against a REAL
+    vocab.txt instead (the first-real-asset validation recipe, README
+    'Real assets')."""
+    real = os.environ.get("K3M_VOCAB_FILE")
+    if real:
+        return real
     vocab = ["[PAD]"]
     vocab += [f"[unused{i}]" for i in range(1, 100)]
     vocab += ["[UNK]", "[CLS]", "[SEP]", "[MASK]", "<S>", "<T>"]

@@ -40,6 +40,8 @@ def get_parser():
     parser.add_argument("--pretrained_model_weights", default="bert-base-uncased_weight_name.json", type=str)
     parser.add_argument("--file_checkpoint", default="", type=str)
     parser.add_argument("--file_state_dict", default="", type=str)
+    parser.add_argument("--strict_load", action="store_true",
+                        help="fail loudly if any tensor in --pretrained_model_path is not consumed (real-asset first-run guard)")
     parser.add_argument("--log_steps", default=1, type=int)
     parser.add_argument("--distributed", action="store_true")
     parser.add_argument("--cache", default=5000, type=int)
@@ -223,7 +225,11 @@ def main(argv=None):
     if args.pretrained_model_path:
         from k3m_tpu.train.convert import load_pretrained_into_params
         trainer.state = trainer.state.replace(params=load_pretrained_into_params(
-            trainer.state.params, args.pretrained_model_path))
+            trainer.state.params, args.pretrained_model_path,
+            strict=args.strict_load,
+            # HF checkpoints carry an NSP head sized for plain BERT; the
+            # K3M alignment head is bi_hidden-sized and reinitializes
+            allowed_unconsumed=(r"cls\.seq_relationship\.",)))
     if args.file_state_dict:
         from k3m_tpu.train.state import load_params_msgpack
         trainer.state = trainer.state.replace(params=load_params_msgpack(
