@@ -235,6 +235,77 @@ def _append_quality(lines):
     print("QUALITY.md updated", flush=True)
 
 
+def main_fixbugs(epochs=5):
+    """--fixbugs: demonstrate config.fix_reference_bugs end-to-end
+    (VERDICT r2 item 8). Train the standard quality pretrain twice —
+    replicated-bugs (default) and fixed — and append a per-epoch loss
+    table. The four replicated sites: inverted LPM margin sign
+    (model/structure.py), cosine-probs using item1 twice
+    (model/alignment.py), stale zero-pv aggregator state
+    (model/structure.py:113-128), roberta position-id offset
+    (model/layers.py:280-287)."""
+    if not os.path.exists(f"{WORK}/data/train_feat.k3mr"):
+        build_data()
+    outs = {}
+    for variant, extra in (("replicated", []),
+                           ("fixed", ["--fix_reference_bugs"])):
+        out = f"{WORK}/pretrain_{variant}_out"
+        run([sys.executable, "pretrain.py", "--data_dir", f"{WORK}/data",
+             "--output_dir", out, "--file_name", "{}_feat.k3mr",
+             "--config_file", "bert_base_6layer_6conect.json",
+             "--train_batch_size", "96", "--learning_rate", "1e-4",
+             "--num_train_epochs", str(epochs), "--micro_steps", "3",
+             "--bf16", "--use_image", "--warmup_proportion", "0.1",
+             "--log_steps", "2", "--do_eval"] + extra,
+            f"{WORK}/pretrain_{variant}.log")
+        outs[variant] = out
+    assemble_fixbugs(outs, epochs)
+
+
+def assemble_fixbugs(outs, epochs):
+    tables = {}
+    for variant, out in outs.items():
+        log = open(f"{WORK}/pretrain_{variant}.log").read()
+        vals = re.findall(r"epoch (\d+) eval: ({.*})", log)
+        rows = {}
+        for e, d in vals:
+            try:
+                rows[int(e)] = eval(d)   # logged dict of val_ losses
+            except Exception:
+                pass
+        tables[variant] = rows
+    lines = ["", "## fix_reference_bugs: replicated vs fixed semantics", "",
+             "`python exp/quality_run.py --fixbugs` — identical data/"
+             "hyperparams/seed, only `config.fix_reference_bugs` differs. "
+             "Replicated bugs (default, bit-parity with the reference): "
+             "inverted LPM margin sign, cosine-probs item1-twice, stale "
+             "zero-pv aggregator state, roberta position-id offset. "
+             "Fixed semantics must learn at least as well:", "",
+             "| epoch | val_loss (replicated) | val_loss (fixed) | "
+             "val_loss_struc (repl) | val_loss_struc (fixed) |",
+             "|---|---|---|---|---|"]
+    eps = sorted(set(tables.get("replicated", {})) |
+                 set(tables.get("fixed", {})))
+    for e in eps:
+        r = tables.get("replicated", {}).get(e, {})
+        x = tables.get("fixed", {}).get(e, {})
+        lines.append(
+            f"| {e} | {r.get('val_loss', float('nan')):.4f} | "
+            f"{x.get('val_loss', float('nan')):.4f} | "
+            f"{r.get('val_loss_struc', float('nan')):.4f} | "
+            f"{x.get('val_loss_struc', float('nan')):.4f} |")
+    if eps:
+        e = eps[-1]
+        r = tables["replicated"].get(e, {}).get("val_loss")
+        x = tables["fixed"].get(e, {}).get("val_loss")
+        if r is not None and x is not None:
+            verdict = "fixed <= replicated" if x <= r * 1.02 else \
+                "fixed LAGS replicated — investigate"
+            lines += ["", f"Final-epoch val_loss: replicated {r:.4f} vs "
+                          f"fixed {x:.4f} ({verdict})."]
+    _append_quality(lines)
+
+
 def run(cmd, log):
     print("+", " ".join(cmd), flush=True)
     with open(log, "w") as f:
@@ -353,4 +424,9 @@ def assemble():
 
 
 if __name__ == "__main__":
-    main()
+    if MODE_EXTRACT:
+        main_extract()
+    elif MODE_FIXBUGS:
+        main_fixbugs()
+    else:
+        main()

@@ -32,6 +32,8 @@ def get_parser():
     p.add_argument("--file_state_dict", default="", type=str)
     p.add_argument("--strict_load", action="store_true",
                    help="fail loudly if any tensor in --pretrained_model_path is not consumed (real-asset first-run guard)")
+    p.add_argument("--fix_reference_bugs", action="store_true",
+                   help="fix the replicated reference bugs (inverted LPM margin, cosine-probs, stale zero-pv state, roberta position ids) instead of bit-matching them")
     p.add_argument("--skip_nonfinite", action="store_true",
                    help="skip (don't apply) any update whose grads contain "
                         "non-finite values instead of poisoning params")
@@ -127,6 +129,7 @@ def main(argv=None):
     config = next(K3MConfig.from_json_file(c) for c in candidates
                   if os.path.exists(c))
     config = config.replace(
+        fix_reference_bugs=args.fix_reference_bugs,
         if_pre_sampling=args.if_pre_sampling, loss_type=args.loss_type,
         dynamic_attention=args.dynamic_attention,
         visual_target=args.visual_target,

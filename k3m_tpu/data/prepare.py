@@ -159,6 +159,10 @@ def main(argv=None):
 
     extractor = None
     if args.extract_features:
+        # persistent compile cache: the R101-C4 + RPN + NMS graph is a
+        # multi-minute cold compile; cache it like the training CLIs do
+        from k3m_tpu.utils.jax_setup import setup_jax
+        setup_jax()
         if args.extract_batch_size > 1:
             from k3m_tpu.vision.frcnn import make_batched_extractor
             extractor = make_batched_extractor(

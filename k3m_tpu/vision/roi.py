@@ -130,4 +130,21 @@ def roi_pool(feat: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
         # caffe: a bin with no cells pools to 0
         return jnp.where(jnp.isfinite(pooled), pooled, 0.0)
 
-    return jax.vmap(per_roi)(hstart, hend, wstart, wend)
+    # Memory bound: the windowed gather is [P*Ky*P*Kx, C] per roi (~24 MB
+    # at a 38x50x1024 C4 map) — vmapping all 300 proposals at once makes a
+    # ~7 GB/image intermediate the TPU AOT compiler refuses to schedule
+    # (observed: f32[7056000,1024] = 4 images x 300 rois x 5880 cells
+    # exceeding HBM). lax.map over fixed-size roi chunks caps the live
+    # window at chunk x 24 MB with bit-identical per-roi math.
+    import os
+    N = boxes.shape[0]
+    chunk = int(os.environ.get("K3M_ROI_CHUNK", "32"))
+    if chunk <= 0 or N <= chunk:
+        return jax.vmap(per_roi)(hstart, hend, wstart, wend)
+    pad = (-N) % chunk
+    args = (hstart, hend, wstart, wend)
+    if pad:
+        args = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in args)
+    args = tuple(a.reshape(-1, chunk, P) for a in args)
+    out = jax.lax.map(lambda a: jax.vmap(per_roi)(*a), args)
+    return out.reshape(-1, P, P, feat.shape[-1])[:N]

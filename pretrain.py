@@ -37,6 +37,8 @@ def get_parser():
     p.add_argument("--file_state_dict", default="", type=str)
     p.add_argument("--strict_load", action="store_true",
                    help="fail loudly if any tensor in --pretrained_model_path is not consumed (real-asset first-run guard)")
+    p.add_argument("--fix_reference_bugs", action="store_true",
+                   help="fix the replicated reference bugs (inverted LPM margin, cosine-probs, stale zero-pv state, roberta position ids) instead of bit-matching them")
     p.add_argument("--skip_nonfinite", action="store_true",
                    help="skip (don't apply) any update whose grads contain "
                         "non-finite values instead of poisoning params")
@@ -137,6 +139,7 @@ def main(argv=None):
         use_image=args.use_image,
         dtype="bfloat16" if (args.fp16 or args.bf16) else "float32",
         use_pallas=args.use_pallas, shared_prefix=args.shared_prefix,
+        fix_reference_bugs=args.fix_reference_bugs,
         model="roberta" if "roberta" in (args.model_name or "") else "bert")
     if args.visual_target != 0:
         overrides["v_target_size"] = config.v_feature_size

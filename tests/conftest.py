@@ -56,6 +56,18 @@ def make_micro_batch(B=8, seed=0):
     return make_pretrain_batch(MICRO, B=B, L=8, Lpv=12, R=4, P=3, seed=seed)
 
 
+# One-layer-per-stream variant for the most compile-expensive tests (the
+# alignment twin tower compiles the tri-pass trunk TWICE): ~half of MICRO's
+# cold-compile cost while still exercising co-attention + fusion +
+# structure aggregation.
+NANO = MICRO.replace(num_hidden_layers=1, v_num_hidden_layers=1,
+                     v_biattention_id=(0,), t_biattention_id=(0,))
+
+
+def make_nano_batch(B=8, seed=0):
+    return make_pretrain_batch(NANO, B=B, L=8, Lpv=12, R=4, P=3, seed=seed)
+
+
 @pytest.fixture(scope="session")
 def tiny_config():
     return TINY

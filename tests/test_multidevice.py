@@ -85,6 +85,14 @@ def test_dp_tp_single_parity_kernels_on(monkeypatch):
         "attention"]["query"]["kernel"]
     assert not q.sharding.is_fully_replicated
 
+    # deterministic eval: dropout=0, so the fused attention/bi-attention
+    # kernels ACTUALLY execute under the mesh (in training mode on CPU the
+    # attention kernels fall back for dropout — interpret-mode PRNG is
+    # unsupported — so only eval pins their shard_map path end-to-end)
+    e1 = jax.device_get(t1.eval_step(batch))
+    etp = jax.device_get(t_tp.eval_step(batch))
+    np.testing.assert_allclose(e1["loss"], etp["loss"], rtol=5e-4)
+
 
 @pytest.mark.slow
 def test_graft_entry_dryrun():
@@ -99,17 +107,20 @@ def test_alignment_tp_equals_dp(monkeypatch):
     reduction-order noise. (The pretrain tests above don't cover
     K3MForItemAlignment's twin-tower apply / pair batching path.)"""
     from k3m_tpu.train.alignment_loop import AlignmentTrainer, device_item
+    from tests.conftest import NANO, make_nano_batch
     monkeypatch.setenv("K3M_LN_INTERPRET", "1")
-    i1 = device_item(make_micro_batch(B=8, seed=1))
-    i2 = device_item(make_micro_batch(B=8, seed=2))
+    i1 = device_item(make_nano_batch(B=8, seed=1))
+    i2 = device_item(make_nano_batch(B=8, seed=2))
     label = (np.arange(8) % 2).astype(np.int32)
     batch = dict(label=label, item1=i1, item2=i2)
     kw = dict(learning_rate=1e-4, warmup_steps=1, total_steps=10, seed=7,
               sample_batch=batch)
-    t_dp = AlignmentTrainer(MICRO, mesh=mesh_lib.make_mesh(n_data=8,
-                                                           n_model=1), **kw)
-    t_tp = AlignmentTrainer(MICRO, mesh=mesh_lib.make_mesh(n_data=4,
-                                                           n_model=2), **kw)
+    # NANO (1 layer/stream): the twin tower compiles the trunk TWICE per
+    # step — at MICRO it was the slowest cold compile in the suite (522s)
+    t_dp = AlignmentTrainer(NANO, mesh=mesh_lib.make_mesh(n_data=8,
+                                                          n_model=1), **kw)
+    t_tp = AlignmentTrainer(NANO, mesh=mesh_lib.make_mesh(n_data=4,
+                                                          n_model=2), **kw)
     for step in range(2):
         l_dp, _ = t_dp.train_step(batch)
         l_tp, _ = t_tp.train_step(batch)

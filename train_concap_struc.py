@@ -42,6 +42,8 @@ def get_parser():
     parser.add_argument("--file_state_dict", default="", type=str)
     parser.add_argument("--strict_load", action="store_true",
                         help="fail loudly if any tensor in --pretrained_model_path is not consumed (real-asset first-run guard)")
+    parser.add_argument("--fix_reference_bugs", action="store_true",
+                   help="fix the replicated reference bugs (inverted LPM margin, cosine-probs, stale zero-pv state, roberta position ids) instead of bit-matching them")
     parser.add_argument("--log_steps", default=1, type=int)
     parser.add_argument("--distributed", action="store_true")
     parser.add_argument("--cache", default=5000, type=int)
@@ -114,6 +116,7 @@ def resolve_config(args):
         raise FileNotFoundError(f"config {args.config_file} not found")
     # flag overrides (reference :198-211, pretrain.py:1351-1372)
     overrides = dict(
+        fix_reference_bugs=args.fix_reference_bugs,
         if_pre_sampling=args.if_pre_sampling,
         with_coattention=True,  # reference always trains with co-attention
         objective=args.objective,
