@@ -164,7 +164,7 @@ def bench_finetune() -> "float | None":
     from k3m_tpu.train import mesh as mesh_lib
     from k3m_tpu.train.alignment_loop import AlignmentTrainer, device_item
 
-    micro = int(os.environ.get("K3M_BENCH_FT_MICRO", "3"))
+    micro = int(os.environ.get("K3M_BENCH_FT_MICRO", "4"))  # 32 % micro == 0
     cfg = K3MConfig().replace(dtype="bfloat16", loss_type="ce",
                               remat=(micro == 1))
     B = 32
