@@ -68,6 +68,19 @@ def make_nano_batch(B=8, seed=0):
     return make_pretrain_batch(NANO, B=B, L=8, Lpv=12, R=4, P=3, seed=seed)
 
 
+def single_mesh():
+    """1-device mesh for fast-tier trainer tests: trainer properties that
+    are mesh-size-agnostic (optimizer guards, recompile caching, micro
+    slicing) compile 2-4x faster than on the default 8-virtual-device
+    mesh. Multi-device semantics are covered by test_multidevice /
+    test_hlo_collectives."""
+    import jax as _jax
+
+    from k3m_tpu.train import mesh as _mesh_lib
+    return _mesh_lib.make_mesh(n_data=1, n_model=1,
+                               devices=_jax.devices()[:1])
+
+
 @pytest.fixture(scope="session")
 def tiny_config():
     return TINY

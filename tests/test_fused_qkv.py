@@ -24,8 +24,12 @@ APPLY_RNGS = {"gumbel": jax.random.PRNGKey(1), "lpm": jax.random.PRNGKey(2)}
 def _outputs(cfg, batch, params=None):
     model = K3MForPretraining(cfg)
     if params is None:
-        params = model.init(RNGS, batch, deterministic=True)
-    out = model.apply(params, batch, deterministic=True, rngs=APPLY_RNGS)
+        params = jax.jit(
+            lambda: model.init(RNGS, batch, deterministic=True))()
+    # jitted (not eager) apply: eager per-op dispatch dominated this
+    # file's wall-clock and jitted graphs hit the persistent compile cache
+    out = jax.jit(lambda p, b: model.apply(
+        p, b, deterministic=True, rngs=APPLY_RNGS))(params, batch)
     return params, {k: np.asarray(v) for k, v in out.items()}
 
 

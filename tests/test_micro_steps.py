@@ -16,9 +16,13 @@ from tests.conftest import TINY, make_pretrain_batch
 
 def _make_trainer(cfg, batch, micro_steps):
     from k3m_tpu.train.pretrain_loop import PretrainTrainer
+    from tests.conftest import single_mesh
+    # 1-device mesh: micro-slicing semantics are mesh-agnostic, and the
+    # default 8-virtual-device compile triples this file's wall-clock
     return PretrainTrainer(
         cfg, learning_rate=1e-3, warmup_steps=0, total_steps=10,
-        sample_batch=batch, micro_steps=micro_steps, seed=7)
+        sample_batch=batch, micro_steps=micro_steps, seed=7,
+        mesh=single_mesh())
 
 
 @pytest.mark.slow

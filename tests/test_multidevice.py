@@ -65,6 +65,17 @@ def test_dp_tp_single_parity_kernels_on(monkeypatch):
     t_tp = PretrainTrainer(kcfg, mesh=mesh_lib.make_mesh(n_data=4, n_model=2),
                            **kw)
 
+    # deterministic eval FIRST, on bit-identical init params: dropout=0,
+    # so the fused attention/bi-attention kernels ACTUALLY execute under
+    # the mesh (in training mode on CPU the attention kernels fall back
+    # for dropout — interpret-mode PRNG is unsupported — so only eval
+    # pins their shard_map path end-to-end). Must run before training:
+    # per-step rounding compounds through optimizer moments and the
+    # trainers' params drift ~1% apart after a few steps.
+    e1 = jax.device_get(t1.eval_step(batch))
+    etp = jax.device_get(t_tp.eval_step(batch))
+    np.testing.assert_allclose(e1["loss"], etp["loss"], rtol=5e-4)
+
     m1 = jax.device_get(t1.train_step(batch))
     losses = [float(jax.device_get(t_dp.train_step(batch))["loss"])]
     m_tp = jax.device_get(t_tp.train_step(batch))
@@ -84,14 +95,6 @@ def test_dp_tp_single_parity_kernels_on(monkeypatch):
     q = t_tp.state.params["params"]["trunk"]["encoder"]["layer_0"][
         "attention"]["query"]["kernel"]
     assert not q.sharding.is_fully_replicated
-
-    # deterministic eval: dropout=0, so the fused attention/bi-attention
-    # kernels ACTUALLY execute under the mesh (in training mode on CPU the
-    # attention kernels fall back for dropout — interpret-mode PRNG is
-    # unsupported — so only eval pins their shard_map path end-to-end)
-    e1 = jax.device_get(t1.eval_step(batch))
-    etp = jax.device_get(t_tp.eval_step(batch))
-    np.testing.assert_allclose(e1["loss"], etp["loss"], rtol=5e-4)
 
 
 @pytest.mark.slow

@@ -23,7 +23,12 @@ import pytest
 
 import jax
 
-from tests.conftest import TINY, make_pretrain_batch
+from tests.conftest import NANO, make_nano_batch, single_mesh
+
+# NANO + 1-device mesh: the retrace sources under test (weak-typed step,
+# uncommitted optimizer scalars) are about sharding commitment, which a
+# 1-device Mesh's NamedShardings exercise identically — at a fraction of
+# the TINY-on-8-devices compile cost.
 
 
 class _CompileCounter(logging.Handler):
@@ -51,11 +56,12 @@ def count_compiles():
         jax.config.update("jax_log_compiles", False)
 
 
-def test_pretrain_later_steps_do_not_recompile(tiny_config):
+def test_pretrain_later_steps_do_not_recompile():
     from k3m_tpu.train.pretrain_loop import PretrainTrainer
-    batch = make_pretrain_batch(tiny_config, B=8)
-    t = PretrainTrainer(tiny_config, learning_rate=1e-3, warmup_steps=0,
-                        total_steps=10, sample_batch=batch, seed=7)
+    batch = make_nano_batch(B=8)
+    t = PretrainTrainer(NANO, learning_rate=1e-3, warmup_steps=0,
+                        total_steps=10, sample_batch=batch,
+                        mesh=single_mesh(), seed=7)
     t.train_step(batch)   # compiles once
     with count_compiles() as c:
         t.train_step(batch)
@@ -65,8 +71,9 @@ def test_pretrain_later_steps_do_not_recompile(tiny_config):
         "TrainState.step or uncommitted optimizer scalars?)")
 
 
-def test_alignment_later_steps_do_not_recompile(tiny_config):
+def test_alignment_later_steps_do_not_recompile():
     from k3m_tpu.train.alignment_loop import AlignmentTrainer
+    tiny_config = NANO
     rng = np.random.default_rng(0)
     B, L, Lpv, R, P = 8, 10, 16, 5, 4
     item = lambda: dict(
@@ -86,7 +93,8 @@ def test_alignment_later_steps_do_not_recompile(tiny_config):
     batch = dict(label=np.array([0, 1, 1, 0, 1, 0, 0, 1], np.float32),
                  item1=item(), item2=item())
     t = AlignmentTrainer(tiny_config, learning_rate=1e-3, warmup_steps=0,
-                         total_steps=10, sample_batch=batch, seed=7)
+                         total_steps=10, sample_batch=batch,
+                         mesh=single_mesh(), seed=7)
     t.train_step(batch)   # compiles once
     with count_compiles() as c:
         t.train_step(batch)

@@ -13,7 +13,16 @@ import numpy as np
 
 import jax
 
-from tests.conftest import TINY, make_pretrain_batch
+from tests.conftest import NANO, make_nano_batch, single_mesh
+
+# NANO + a 1-device mesh: the guard property (params/opt-state untouched on
+# non-finite grads) is independent of model size and mesh width, and the
+# TINY-on-8-virtual-devices version of this file was the single slowest
+# fast-tier item (11 min warm on the 1-core host).
+
+
+def _batch(B=8, seed=0):
+    return make_nano_batch(B=B, seed=seed)
 
 
 def _vec(tree):
@@ -23,10 +32,10 @@ def _vec(tree):
 
 def _trainer(micro_steps=1):
     from k3m_tpu.train.pretrain_loop import PretrainTrainer
-    return PretrainTrainer(TINY, learning_rate=1e-3, total_steps=10,
+    return PretrainTrainer(NANO, learning_rate=1e-3, total_steps=10,
                            micro_steps=micro_steps, skip_nonfinite=True,
-                           sample_batch=make_pretrain_batch(TINY, B=8),
-                           seed=7)
+                           sample_batch=_batch(),
+                           mesh=single_mesh(), seed=7)
 
 
 def _poisoned(batch):
@@ -38,7 +47,7 @@ def _poisoned(batch):
 
 def test_guard_skips_poisoned_step_and_applies_clean_ones():
     tr = _trainer()
-    clean = make_pretrain_batch(TINY, B=8, seed=3)
+    clean = _batch(seed=3)
 
     m = jax.device_get(tr.train_step(clean))
     assert m["nonfinite_skipped"] == 0.0
@@ -70,10 +79,10 @@ def test_guard_matches_unguarded_on_finite_grads():
     # to tight tolerance.
     from k3m_tpu.train.pretrain_loop import PretrainTrainer
     kw = dict(learning_rate=1e-3, total_steps=10,
-              sample_batch=make_pretrain_batch(TINY, B=8), seed=7)
-    guarded = PretrainTrainer(TINY, skip_nonfinite=True, **kw)
-    plain = PretrainTrainer(TINY, skip_nonfinite=False, **kw)
-    b = make_pretrain_batch(TINY, B=8, seed=11)
+              sample_batch=_batch(), mesh=single_mesh(), seed=7)
+    guarded = PretrainTrainer(NANO, skip_nonfinite=True, **kw)
+    plain = PretrainTrainer(NANO, skip_nonfinite=False, **kw)
+    b = _batch(seed=11)
     for _ in range(2):
         mg = jax.device_get(guarded.train_step(b))
         mp = jax.device_get(plain.train_step(b))
@@ -86,7 +95,7 @@ def test_guard_matches_unguarded_on_finite_grads():
 
 def test_guard_under_microbatching():
     tr = _trainer(micro_steps=2)
-    clean = make_pretrain_batch(TINY, B=8, seed=3)
+    clean = _batch(seed=3)
     m = jax.device_get(tr.train_step(clean))
     assert m["nonfinite_skipped"] == 0.0
     p_before = _vec(tr.state.params)

@@ -23,8 +23,10 @@ APPLY_RNGS = {"gumbel": jax.random.PRNGKey(1), "lpm": jax.random.PRNGKey(2)}
 
 def _outputs(cfg, batch):
     model = K3MForPretraining(cfg)
-    params = model.init(RNGS, batch, deterministic=True)
-    out = model.apply(params, batch, deterministic=True, rngs=APPLY_RNGS)
+    params = jax.jit(lambda: model.init(RNGS, batch, deterministic=True))()
+    # jitted: see test_fused_qkv._outputs note (eager dispatch dominates)
+    out = jax.jit(lambda p, b: model.apply(
+        p, b, deterministic=True, rngs=APPLY_RNGS))(params, batch)
     return {k: np.asarray(v) for k, v in out.items()}
 
 

@@ -25,11 +25,15 @@ APPLY_RNGS = {"gumbel": jax.random.PRNGKey(1), "lpm": jax.random.PRNGKey(2)}
 
 def _outputs(cfg, batch, deterministic=True, dropout_seed=None):
     model = K3MForPretraining(cfg)
-    params = model.init(RNGS, batch, deterministic=True)
+    # jit both phases: eager per-op dispatch dominated this file's
+    # wall-clock (~10s/apply at TINY), and jitted graphs hit the
+    # persistent compile cache across runs
+    params = jax.jit(lambda: model.init(RNGS, batch, deterministic=True))()
     rngs = dict(APPLY_RNGS)
     if dropout_seed is not None:
         rngs["dropout"] = jax.random.PRNGKey(dropout_seed)
-    out = model.apply(params, batch, deterministic=deterministic, rngs=rngs)
+    out = jax.jit(lambda p, b: model.apply(
+        p, b, deterministic=deterministic, rngs=rngs))(params, batch)
     return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -38,12 +42,30 @@ def _outputs(cfg, batch, deterministic=True, dropout_seed=None):
     {"fixed_t_layer": 3, "fixed_v_layer": 1}, {"if_pre_sampling": 0},
 ])
 def test_shared_prefix_equals_recompute_deterministic(tiny_config, variant):
-    batch = make_pretrain_batch(tiny_config)
-    ref = _outputs(tiny_config.replace(shared_prefix=False, **variant), batch)
-    got = _outputs(tiny_config.replace(shared_prefix=True, **variant), batch)
+    # MICRO (1-layer co-attn-free prefix) for the variant sweep — same
+    # property, ~1/4 the compile time; the TINY multi-layer-prefix case is
+    # covered by test_shared_prefix_multilayer_prefix below
+    from conftest import MICRO, make_micro_batch
+    cfg = MICRO
+    if variant.get("fixed_t_layer"):
+        variant = {"fixed_t_layer": 1, "fixed_v_layer": 1}
+    batch = make_micro_batch(B=3)
+    ref = _outputs(cfg.replace(shared_prefix=False, **variant), batch)
+    got = _outputs(cfg.replace(shared_prefix=True, **variant), batch)
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], atol=1e-5, rtol=1e-5,
                                    err_msg=f"{variant} output {k}")
+
+
+def test_shared_prefix_multilayer_prefix(tiny_config):
+    """TINY's 2-layer co-attention-free prefix (t_biattention_id=(2,3)):
+    the shared prefix must thread multi-layer stacks identically."""
+    batch = make_pretrain_batch(tiny_config)
+    ref = _outputs(tiny_config.replace(shared_prefix=False), batch)
+    got = _outputs(tiny_config.replace(shared_prefix=True), batch)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], atol=1e-5, rtol=1e-5,
+                                   err_msg=f"output {k}")
 
 
 def test_shared_prefix_training_mode_sane(tiny_config):
@@ -53,7 +75,7 @@ def test_shared_prefix_training_mode_sane(tiny_config):
     cfg = tiny_config.replace(shared_prefix=True)
     batch = make_pretrain_batch(cfg)
     model = K3MForPretraining(cfg)
-    params = model.init(RNGS, batch, deterministic=True)
+    params = jax.jit(lambda: model.init(RNGS, batch, deterministic=True))()
     rngs = dict(APPLY_RNGS, dropout=jax.random.PRNGKey(7))
 
     def loss_fn(p):
@@ -61,11 +83,12 @@ def test_shared_prefix_training_mode_sane(tiny_config):
         return (out["masked_lm_loss"] + out["masked_img_loss"]
                 + out["masked_lm_loss_pv"] + out["loss_struc"])
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
     assert np.isfinite(float(loss))
     # reference-path loss on the same batch/draws for a range check
     ref_model = K3MForPretraining(tiny_config)
-    ref_loss = ref_model.apply(params, batch, deterministic=False, rngs=rngs)
+    ref_loss = jax.jit(lambda p, b: ref_model.apply(
+        p, b, deterministic=False, rngs=rngs))(params, batch)
     ref_total = float(ref_loss["masked_lm_loss"] + ref_loss["masked_img_loss"]
                       + ref_loss["masked_lm_loss_pv"] + ref_loss["loss_struc"])
     assert abs(float(loss) - ref_total) / max(abs(ref_total), 1e-6) < 0.25
