@@ -41,6 +41,18 @@ def make_batch(cfg, B):
     return _make_batch(cfg, B=B, L=SEQ_T, Lpv=SEQ_PV, R=REGIONS, P=NUM_PV)
 
 
+def _spread(rates) -> dict:
+    """ONE estimator policy for every number this file publishes: the
+    median over >=3 timing windows, with the min/max spread carried in the
+    JSON so a noisy link (the chip sits behind a network tunnel here) is
+    visible in the artifact instead of silently inflating or deflating the
+    headline (round-3 lesson: a single-window e2e measured 104.6 while the
+    typical value was ~160)."""
+    rs = sorted(float(r) for r in rates)
+    return {"median": rs[len(rs) // 2], "min": rs[0], "max": rs[-1],
+            "windows": len(rs)}
+
+
 # Peak bf16 matmul throughput per chip, by device_kind prefix. Used only
 # for the reported MFU estimate; unknown kinds report mfu=null.
 PEAK_BF16_FLOPS = [
@@ -119,7 +131,8 @@ def bench_jax(n_data: "int | None" = None, n_model: int = 1,
         jax.device_get(m["loss"])
         dt = time.perf_counter() - t0
         rates.append(samples_per_step * ITERS / dt / n_chips)
-    value = sorted(rates)[len(rates) // 2]
+    spread = _spread(rates)
+    value = spread["median"]
 
     # MFU: XLA's own flop count for the compiled step (fwd+bwd+AdamW over
     # batch*n_chips samples) against the chip's peak bf16 rate.
@@ -148,16 +161,18 @@ def bench_jax(n_data: "int | None" = None, n_model: int = 1,
             ici = hlo.collective_bytes(compiled.as_text())
     except Exception as e:  # cost analysis is best-effort diagnostics
         print(f"# cost analysis unavailable: {e}", file=sys.stderr)
-    return {"value": value, "flops_per_step": flops_per_step, "mfu": mfu,
+    return {"value": value, "spread": spread,
+            "flops_per_step": flops_per_step, "mfu": mfu,
             "mesh": f"{n_data}x{n_model}", "ici_bytes_per_step": ici}
 
 
-def bench_finetune() -> "float | None":
+def bench_finetune(windows: int = 3) -> "dict | None":
     """Staged-batch item-alignment train-step rate (pairs/sec/chip) at the
     reference finetune configuration (batch 32, loss_type ce,
     run_finetune_item_alignment.sh:17-43). Twin tower at batch 32 needs
     per-layer remat OR in-step microbatching; micro_steps=3 + remat-off is
-    the measured-faster lever (exp/finetune_throughput.py)."""
+    the measured-faster lever (exp/finetune_throughput.py). Median of
+    `windows` like every other number here (_spread)."""
     import jax
     from __graft_entry__ import _make_batch
     from k3m_tpu.config import K3MConfig
@@ -183,26 +198,38 @@ def bench_finetune() -> "float | None":
     jax.device_get(loss)
     iters = 10
     rates = []
-    for _ in range(2):
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             loss, _ = trainer.train_step(db)
         jax.device_get(loss)
         rates.append(B * iters / (time.perf_counter() - t0))
-    return max(rates)
+    return _spread(rates)
 
 
-def bench_e2e(n_records: int = 1152) -> "float | None":
+def bench_e2e(n_records: int = 2112, windows: int = 3,
+              wire: "str | None" = None) -> "dict | None":
     """fit()-path rate: real loader (native C++ producer) -> prefetched H2D
     -> train step, over full-size records. The honest what-a-user-gets
-    number; its gap to the staged rate is the input pipeline + tunnel."""
+    number; its gap to the staged rate is the input pipeline + tunnel.
+
+    Each window is one full pass over the loader (n_records/BATCH - 1
+    measured steps, default 21 >= 20); the reported value is the median of
+    `windows` passes with the spread in the JSON — the r3 snapshot showed a
+    single window on this path can land anywhere in a ~100-165 samples/s
+    band depending on tunnel state.
+
+    `wire` (default: K3M_WIRE env, else int8) selects the H2D codec —
+    int8 image_feat + uint8 soft labels halve the wire again vs bf16/fp16
+    (train/wire.py); K3M_WIRE=fp reproduces the r3 behavior."""
     import jax
     from exp.input_throughput import SHAPES, make_records
     from k3m_tpu.config import K3MConfig
     from k3m_tpu.data.pipeline import PretrainLoader
     from k3m_tpu.tokenization import get_tokenizer
     from k3m_tpu.train import mesh as mesh_lib
-    from k3m_tpu.train.pretrain_loop import PretrainTrainer
+    from k3m_tpu.train import wire as wire_lib
+    from k3m_tpu.train.pretrain_loop import PretrainTrainer, device_batch
 
     base = "/tmp/k3m_input_bench"
     os.makedirs(base, exist_ok=True)
@@ -211,6 +238,7 @@ def bench_e2e(n_records: int = 1152) -> "float | None":
     if not os.path.exists(k3mr):
         make_records(k3mr, ar, n_records)
     micro = int(os.environ.get("K3M_BENCH_MICRO", "4"))
+    wire = wire or os.environ.get("K3M_WIRE", "int8")
     cfg = K3MConfig().replace(
         dtype="bfloat16", remat=(micro <= 1),
         shared_prefix=bool(int(os.environ.get("K3M_BENCH_SP", "1"))))
@@ -219,20 +247,92 @@ def bench_e2e(n_records: int = 1152) -> "float | None":
     sample = next(iter(loader))
     trainer = PretrainTrainer(
         cfg, learning_rate=1e-4, warmup_steps=10, total_steps=1000,
-        sample_batch=sample, micro_steps=micro,
+        sample_batch=sample, micro_steps=micro, wire=wire,
         mesh=mesh_lib.make_mesh(n_model=1))
-    m = trainer.train_step(sample)     # compile + warm producer
+    m = trainer.train_step(sample)     # compile
     jax.device_get(m["loss"])
-    it = trainer.prefetch_to_device(iter(loader))
-    m = trainer.train_step(next(it))
-    jax.device_get(m["loss"])
-    t0 = time.perf_counter()
-    n = 0
-    for batch in it:
-        m = trainer.train_step(batch)
-        n += batch["input_ids"].shape[0]
-    jax.device_get(m["loss"])
-    return n / (time.perf_counter() - t0) if n else None
+    # wire payload of one encoded batch (diagnostic, MB)
+    if wire == "int8":
+        enc = wire_lib.encode_pretrain(
+            device_batch(sample),
+            quantize_target=not os.environ.get("K3M_EXACT_TARGETS"))
+    else:
+        enc = device_batch(sample)
+    wire_mb = wire_lib.wire_bytes(enc) / 1e6
+    rates = []
+    for _ in range(windows):
+        it = trainer.prefetch_to_device(iter(loader))
+        m = trainer.train_step(next(it))   # warm this window's producer
+        jax.device_get(m["loss"])
+        t0 = time.perf_counter()
+        n = 0
+        for batch in it:
+            m = trainer.train_step(batch)
+            n += BATCH
+        jax.device_get(m["loss"])
+        if n:
+            rates.append(n / (time.perf_counter() - t0))
+    if not rates:
+        return None
+    out = _spread(rates)
+    out["wire"] = wire
+    out["wire_mb_per_batch"] = round(wire_mb, 2)
+    return out
+
+
+def bench_finetune_e2e(n_pairs: int = 416, windows: int = 3,
+                       wire: "str | None" = None) -> "dict | None":
+    """Alignment fit()-path rate (pairs/sec): AlignmentLoader (native C++
+    pair batches) -> prefetched H2D -> twin-tower train step. The
+    least-characterized path of r3 gets a per-round artifact: median of
+    `windows` full loader passes (12 measured steps each) with spread.
+    Ref boundary: finetune.py:850-984 train loop feeding 29-field pair
+    batches to the GPU."""
+    import jax
+    from exp.finetune_throughput import SHAPES, make_pairs
+    from k3m_tpu.config import K3MConfig
+    from k3m_tpu.data.pipeline import AlignmentLoader
+    from k3m_tpu.tokenization import get_tokenizer
+    from k3m_tpu.train import mesh as mesh_lib
+    from k3m_tpu.train.alignment_loop import AlignmentTrainer
+
+    B = 32
+    base = "/tmp/k3m_ft_bench"
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, f"pairs_{n_pairs}.k3mr")
+    if not os.path.exists(path):
+        make_pairs(path, n_pairs)
+    micro = int(os.environ.get("K3M_BENCH_FT_MICRO", "4"))
+    wire = wire or os.environ.get("K3M_WIRE", "int8")
+    cfg = K3MConfig().replace(dtype="bfloat16", loss_type="ce",
+                              remat=(micro == 1))
+    loader = AlignmentLoader(path, get_tokenizer(), SHAPES, batch_size=B,
+                             shuffle=True, seed=0, drop_last=True)
+    sample = next(iter(loader))
+    trainer = AlignmentTrainer(cfg, learning_rate=5e-5, warmup_steps=10,
+                               total_steps=1000, sample_batch=sample,
+                               micro_steps=micro, wire=wire,
+                               mesh=mesh_lib.make_mesh(n_model=1))
+    loss, _ = trainer.train_step(sample)   # compile
+    jax.device_get(loss)
+    rates = []
+    for _ in range(windows):
+        it = trainer.prefetch_to_device(iter(loader))
+        loss, _ = trainer.train_step(next(it))   # warm the producer
+        jax.device_get(loss)
+        t0 = time.perf_counter()
+        n = 0
+        for batch in it:
+            loss, _ = trainer.train_step(batch)
+            n += B
+        jax.device_get(loss)
+        if n:
+            rates.append(n / (time.perf_counter() - t0))
+    if not rates:
+        return None
+    out = _spread(rates)
+    out["wire"] = wire
+    return out
 
 
 def measure_torch_reference_cpu() -> "float | None":
@@ -372,31 +472,49 @@ def main():
     # Companion metrics (same JSON line so every BENCH_r{N}.json carries
     # them): bit-exact-to-reference pretrain rate (shared_prefix off — one
     # dropout draw per pass exactly like the reference), finetune pairs/s,
-    # and the end-to-end fit() fraction of the staged headline. Each is
-    # best-effort: a failure degrades to null, never kills the bench.
+    # and the end-to-end fit() fractions of both training paths. ONE
+    # estimator policy: every number is a median of >=3 windows and ships
+    # with its {min, max, windows} spread (_spread). Each is best-effort:
+    # a failure degrades to null, never kills the bench.
+    def _round(d, nd=2):
+        return {k: (round(v, nd) if isinstance(v, float) else v)
+                for k, v in d.items()}
+
     extras = {}
     fast = args.fast or bool(int(os.environ.get("K3M_BENCH_FAST", "0")))
     if not fast and args.n_model == 1:
         try:
             extras["bit_exact_value"] = round(
                 bench_jax(n_data=args.n_data, shared_prefix=False,
-                          windows=2)["value"], 2)
+                          windows=3)["value"], 2)
         except Exception as e:
             print(f"# bit-exact bench failed: {e}", file=sys.stderr)
             extras["bit_exact_value"] = None
         try:
             ft = bench_finetune()
-            extras["finetune_pairs_per_sec"] = round(ft, 2) if ft else None
+            extras["finetune_pairs_per_sec"] = round(ft["median"], 2)
+            extras["finetune_spread"] = _round(ft)
         except Exception as e:
             print(f"# finetune bench failed: {e}", file=sys.stderr)
             extras["finetune_pairs_per_sec"] = None
         try:
             e2e = bench_e2e()
-            extras["e2e_samples_per_sec"] = round(e2e, 2) if e2e else None
-            extras["e2e_fraction"] = round(e2e / value, 3) if e2e else None
+            extras["e2e_samples_per_sec"] = round(e2e["median"], 2)
+            extras["e2e_fraction"] = round(e2e["median"] / value, 3)
+            extras["e2e_spread"] = _round(e2e)
         except Exception as e:
             print(f"# e2e bench failed: {e}", file=sys.stderr)
             extras["e2e_samples_per_sec"] = extras["e2e_fraction"] = None
+        try:
+            fte = bench_finetune_e2e()
+            extras["finetune_e2e_pairs_per_sec"] = round(fte["median"], 2)
+            if extras.get("finetune_pairs_per_sec"):
+                extras["finetune_e2e_fraction"] = round(
+                    fte["median"] / extras["finetune_pairs_per_sec"], 3)
+            extras["finetune_e2e_spread"] = _round(fte)
+        except Exception as e:
+            print(f"# finetune e2e bench failed: {e}", file=sys.stderr)
+            extras["finetune_e2e_pairs_per_sec"] = None
 
     out = {
         "metric": "k3m_pretrain_samples_per_sec_per_chip",
@@ -407,6 +525,7 @@ def main():
         # (V100-class GPU) estimate is ~15-20x; see README Performance.
         "vs_baseline": round(value / baseline, 2) if baseline else None,
         "baseline_kind": baseline_kind,
+        "spread": _round(res["spread"]),
         "flops_per_step": res["flops_per_step"],
         "mfu": round(res["mfu"], 4) if res["mfu"] else None,
         "mesh": res["mesh"],

@@ -48,9 +48,13 @@ BATCH = 32  # ref run_finetune_item_alignment.sh:20
 SHAPES = ShapeSpec(max_seq_len=50, max_seq_len_pv=256, max_num_pv=30,
                    max_region_len=36)
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-LOSS_TYPE = sys.argv[2] if len(sys.argv) > 2 else "ce"
-MICRO = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+def _cli_args():
+    # parsed inside main(), not at import: bench.py imports this module
+    # for make_pairs/SHAPES and must not trip over its own argv
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    loss_type = sys.argv[2] if len(sys.argv) > 2 else "ce"
+    micro = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    return n, loss_type, micro
 
 
 def make_pairs(path, n):
@@ -82,6 +86,7 @@ def timed(fn, it, sync):
 
 
 def main():
+    N, LOSS_TYPE, MICRO = _cli_args()
     base = "/tmp/k3m_ft_bench"
     os.makedirs(base, exist_ok=True)
     path = os.path.join(base, f"pairs_{N}.k3mr")

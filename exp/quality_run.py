@@ -19,6 +19,7 @@ Usage: python exp/quality_run.py [workdir]  (defaults /tmp/k3m_quality)
            rerun pretrain with config.fix_reference_bugs=true and append a
            replicated-vs-fixed loss table to QUALITY.md (VERDICT r2 item 8).
 """
+import ast
 import itertools
 import json
 import os
@@ -270,7 +271,9 @@ def assemble_fixbugs(outs, epochs):
         rows = {}
         for e, d in vals:
             try:
-                rows[int(e)] = eval(d)   # logged dict of val_ losses
+                # literal_eval, not eval: the value is scraped from a log
+                # file — treat it as data, never as code
+                rows[int(e)] = ast.literal_eval(d)
             except Exception:
                 pass
         tables[variant] = rows

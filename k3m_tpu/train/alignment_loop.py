@@ -68,9 +68,13 @@ class AlignmentTrainer:
                  seed: int = 42,
                  n_model: int = 1,
                  mesh: Optional[Any] = None,
+                 wire: Optional[str] = None,
                  sample_batch: Optional[Dict] = None,
                  skip_nonfinite: bool = False):
         self.config = config
+        # H2D wire codec mode ("fp" | "int8" | "exact"); see train/wire.py
+        from k3m_tpu.train import wire as wire_lib
+        self.wire = wire_lib.wire_mode(wire)
         # In-step microbatching (same lever as PretrainTrainer: grads
         # averaged over micro_steps slices inside one jitted step — the
         # reference's own grad-accumulation normalization,
@@ -193,6 +197,10 @@ class AlignmentTrainer:
         def traced(state, label, i1, i2):
             # publish the mesh to the Pallas kernels while tracing
             from k3m_tpu.kernels.sharding import kernel_mesh_scope
+            from k3m_tpu.model.layers import compute_dtype
+            from k3m_tpu.train import wire as wire_lib
+            dt = compute_dtype(self.config)
+            i1, i2 = wire_lib.decode(i1, dt), wire_lib.decode(i2, dt)
             with kernel_mesh_scope(self.mesh):
                 return fn(state, label, i1, i2)
 
@@ -201,6 +209,10 @@ class AlignmentTrainer:
     def _build_eval_step(self):
         def step_fn(params, label, i1, i2):
             from k3m_tpu.kernels.sharding import kernel_mesh_scope
+            from k3m_tpu.model.layers import compute_dtype
+            from k3m_tpu.train import wire as wire_lib
+            dt = compute_dtype(self.config)
+            i1, i2 = wire_lib.decode(i1, dt), wire_lib.decode(i2, dt)
             with kernel_mesh_scope(self.mesh):
                 return self.model.apply(params, label, i1, i2,
                                         deterministic=True)
@@ -216,7 +228,13 @@ class AlignmentTrainer:
         if isinstance(batch.get("label"), jax.Array):
             return batch   # already staged (prefetch_to_device)
         i1, i2 = device_item(batch["item1"]), device_item(batch["item2"])
-        if self.config.dtype == "bfloat16":
+        if self.wire == "int8":
+            from k3m_tpu.train import wire as wire_lib
+            for it in (i1, i2):
+                if "image_feat" in it:
+                    it[wire_lib.FEAT_Q], it[wire_lib.FEAT_S] = \
+                        wire_lib.encode_feat(it.pop("image_feat"))
+        elif self.wire == "fp" and self.config.dtype == "bfloat16":
             import ml_dtypes
             for it in (i1, i2):
                 if "image_feat" in it:

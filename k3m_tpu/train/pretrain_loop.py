@@ -90,8 +90,12 @@ class PretrainTrainer:
                  n_model: int = 1,
                  pretrained_paths=None,
                  mesh: Optional[Any] = None,
+                 wire: Optional[str] = None,
                  sample_batch: Optional[Dict[str, np.ndarray]] = None):
         self.config = config
+        # H2D wire codec mode ("fp" | "int8" | "exact"); see train/wire.py
+        from k3m_tpu.train import wire as wire_lib
+        self.wire = wire_lib.wire_mode(wire)
         self.model = K3MForPretraining(config)
         self.loss_img_weight = loss_img_weight
         self.objective = objective
@@ -261,6 +265,9 @@ class PretrainTrainer:
             # publish the mesh to the Pallas kernels for the duration of
             # tracing (shard_map partitioning; kernels/sharding.py)
             from k3m_tpu.kernels.sharding import kernel_mesh_scope
+            from k3m_tpu.model.layers import compute_dtype
+            from k3m_tpu.train import wire as wire_lib
+            batch = wire_lib.decode(batch, compute_dtype(self.config))
             with kernel_mesh_scope(mesh):
                 return fn(state, batch)
 
@@ -269,6 +276,9 @@ class PretrainTrainer:
     def _build_eval_step(self):
         def step_fn(params, batch):
             from k3m_tpu.kernels.sharding import kernel_mesh_scope
+            from k3m_tpu.model.layers import compute_dtype
+            from k3m_tpu.train import wire as wire_lib
+            batch = wire_lib.decode(batch, compute_dtype(self.config))
             with kernel_mesh_scope(self.mesh):
                 batch = apply_objective(batch, self.objective)
                 _, metrics = self._losses(
@@ -296,16 +306,27 @@ class PretrainTrainer:
         KL. So under bf16 compute it ships as fp16 and is up-cast on
         device: ~0.05% relative perturbation of the img-loss term only,
         far inside the bf16 noise floor of the rest of the step. Disable
-        with K3M_EXACT_TARGETS=1 for bit-exact fp32 labels."""
+        with K3M_EXACT_TARGETS=1 for bit-exact fp32 labels.
+
+        wire="int8" (K3M_WIRE=int8) goes further: per-row int8 image_feat
+        + uint8 image_target with on-device dequant (train/wire.py),
+        ~13 MB/batch at the reference configuration vs 26 MB fp/bf16 wire.
+        wire="exact" ships fp32 everything."""
         if isinstance(batch.get("input_ids"), jax.Array):
             return batch
         b = device_batch(batch)
-        if self.config.dtype == "bfloat16" and "image_feat" in b:
+        quantize_target = (self.config.visual_target == 0
+                           and "image_target" in b
+                           and not os.environ.get("K3M_EXACT_TARGETS"))
+        if self.wire == "int8" and "image_feat" in b:
+            from k3m_tpu.train import wire as wire_lib
+            b = wire_lib.encode_pretrain(b, quantize_target=quantize_target)
+        elif (self.wire == "fp" and self.config.dtype == "bfloat16"
+                and "image_feat" in b):
             import ml_dtypes
             b["image_feat"] = np.asarray(b["image_feat"]).astype(
                 ml_dtypes.bfloat16)
-            if (self.config.visual_target == 0 and "image_target" in b
-                    and not os.environ.get("K3M_EXACT_TARGETS")):
+            if quantize_target:
                 b["image_target"] = np.asarray(b["image_target"]).astype(
                     np.float16)
         return mesh_lib.shard_batch(b, self.mesh)

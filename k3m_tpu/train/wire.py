@@ -1,0 +1,117 @@
+"""Wire codec: quantize the big H2D tensors on the host, dequantize on
+device inside the jitted step.
+
+Why: on the e2e fit() path the bottleneck is the host->chip link (the
+reference's equivalent boundary is its `.cuda(non_blocking)` H2D loop,
+train_concap_struc.py:472-475). The two dominant tensors per pretrain batch
+(batch 96, reference shapes) are
+
+  image_feat    [96, 37, 2048] fp32 = 29.1 MB  (bf16 wire: 14.5 MB)
+  image_target  [96, 36, 1601] fp32 = 22.1 MB  (fp16 wire: 11.1 MB)
+
+This module cuts them to int8/uint8 (7.3 + 5.5 MB ~= 13 MB/batch total):
+
+  image_feat   -> per-row (per-region) symmetric int8: q = round(x/s),
+                  s = max|row|/127. Relative error <= 1/254 of the row max —
+                  the same order as the bf16 mantissa (2^-8) the model casts
+                  the features to as its first op, so quantization sits
+                  inside the compute-dtype noise floor.
+  image_target -> the 1601-way detector softmax probs (visual_target=0 soft
+                  labels): per-row uint8, q = round(p/s), s = rowmax/255.
+                  On device the dequantized row is renormalized to sum 1
+                  (the true labels are a probability row), bounding the KL
+                  target perturbation at ~rowmax/510 per element.
+
+Modes (K3M_WIRE env var or the trainers' `wire=` argument):
+  "fp"    (default) bf16 image_feat + fp16 image_target — the established
+          r3 behavior (pretrain_loop._stage docstring).
+  "int8"  the int8/uint8 scheme above.
+  "exact" fp32 everything (bit-exact labels; same effect as the
+          K3M_EXACT_TARGETS=1 escape hatch, which still overrides the
+          target handling in every mode).
+
+Encode runs on host numpy (inside the loader prefetch thread), decode is
+traced into the train step, so the quantized form only ever exists on the
+wire and in HBM staging buffers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+FEAT_Q = "image_feat_q"
+FEAT_S = "image_feat_s"
+TGT_Q = "image_target_q"
+TGT_S = "image_target_s"
+
+
+def wire_mode(explicit: "str | None" = None) -> str:
+    mode = explicit or os.environ.get("K3M_WIRE", "fp")
+    if mode not in ("fp", "int8", "exact"):
+        raise ValueError(f"unknown wire mode {mode!r} (fp | int8 | exact)")
+    return mode
+
+
+def encode_feat(feat: np.ndarray):
+    """fp32 [..., D] -> (int8 [..., D], fp32 scale [...])."""
+    feat = np.asarray(feat, np.float32)
+    s = np.abs(feat).max(axis=-1) / 127.0
+    s = np.maximum(s, 1e-12).astype(np.float32)
+    q = np.clip(np.rint(feat / s[..., None]), -127, 127).astype(np.int8)
+    return q, s
+
+
+def encode_probs(p: np.ndarray):
+    """fp32 probability rows [..., K] -> (uint8 [..., K], fp32 scale [...])."""
+    p = np.asarray(p, np.float32)
+    s = p.max(axis=-1) / 255.0
+    s = np.maximum(s, 1e-12).astype(np.float32)
+    q = np.clip(np.rint(p / s[..., None]), 0, 255).astype(np.uint8)
+    return q, s
+
+
+def encode_pretrain(batch: Dict[str, np.ndarray], *, quantize_target: bool
+                    ) -> Dict[str, np.ndarray]:
+    """Replace image_feat (and optionally image_target) with wire forms."""
+    out = dict(batch)
+    if "image_feat" in out:
+        out[FEAT_Q], out[FEAT_S] = encode_feat(out.pop("image_feat"))
+    if quantize_target and "image_target" in out:
+        out[TGT_Q], out[TGT_S] = encode_probs(out.pop("image_target"))
+    return out
+
+
+def decode(batch: Dict, dtype) -> Dict:
+    """Inverse of encode_* — traced into the jitted step (jnp ops)."""
+    import jax.numpy as jnp
+
+    if FEAT_Q not in batch and TGT_Q not in batch:
+        return batch
+    out = dict(batch)
+    if FEAT_Q in out:
+        q = out.pop(FEAT_Q)
+        s = out.pop(FEAT_S)
+        out["image_feat"] = q.astype(dtype) * s[..., None].astype(dtype)
+    if TGT_Q in out:
+        q = out.pop(TGT_Q)
+        s = out.pop(TGT_S)
+        t = q.astype(jnp.float32) * s[..., None]
+        # true soft-label rows sum to 1; renormalizing removes the
+        # quantization bias from the KL target distribution
+        out["image_target"] = t / jnp.maximum(
+            t.sum(-1, keepdims=True), 1e-12)
+    return out
+
+
+def wire_bytes(batch: Dict[str, np.ndarray]) -> int:
+    """Total H2D payload of a staged host batch (diagnostic)."""
+    total = 0
+    for v in batch.values():
+        if isinstance(v, dict):
+            total += wire_bytes(v)
+        elif hasattr(v, "nbytes"):
+            total += v.nbytes
+    return total

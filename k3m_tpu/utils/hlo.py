@@ -26,7 +26,7 @@ _DTYPE_BYTES = {
 _COLLECTIVE_RE = re.compile(
     r"%?\S+ = (?P<restype>.*?) "
     r"(?P<op>all-gather|all-reduce|reduce-scatter|collective-permute"
-    r"|all-to-all)(?:-start)?\(")
+    r"|all-to-all)(?P<start>-start)?\(")
 
 _SHAPE_RE = re.compile(
     r"(pred|s8|u8|s16|u16|f16|bf16|s32|u32|f32|s64|u64|f64)\[([\d,]*)\]")
@@ -42,21 +42,27 @@ class Collective:
 def parse_collectives(hlo_text: str) -> List[Collective]:
     """Every collective op in an HLO module, with result payload bytes.
 
-    `-start`/`-done` async pairs are counted once (on the start)."""
+    `-start`/`-done` async pairs are counted once (on the start). An async
+    `*-start` op's result type is an (inputs..., outputs...) buffer tuple —
+    e.g. `(f32[1024], f32[1024]) all-reduce-start(...)` — so summing every
+    tuple element would double-count the payload; only the output half is
+    counted (for variadic collectives the halves pair up element-wise)."""
     out = []
     for raw in hlo_text.splitlines():
         line = raw.strip()
         m = _COLLECTIVE_RE.match(line)
         if not m:
             continue
-        nbytes = 0
+        shapes = []
         for dt, dims in _SHAPE_RE.findall(m.group("restype")):
             n = 1
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            nbytes += n * _DTYPE_BYTES[dt]
-        out.append(Collective(m.group("op"), nbytes, line[:160]))
+            shapes.append(n * _DTYPE_BYTES[dt])
+        if m.group("start") and len(shapes) >= 2:
+            shapes = shapes[len(shapes) // 2:]
+        out.append(Collective(m.group("op"), sum(shapes), line[:160]))
     return out
 
 

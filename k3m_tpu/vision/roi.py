@@ -11,6 +11,7 @@ static; vmapped over boxes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -72,9 +73,22 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
     return jax.vmap(per_roi)(ys, xs)
 
 
-@functools.partial(jax.jit, static_argnames=("output_size",))
 def roi_pool(feat: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
-             output_size: int = 14) -> jnp.ndarray:
+             output_size: int = 14, chunk: "int | None" = None) -> jnp.ndarray:
+    """Public entry: resolves the RoI chunk size OUTSIDE the jit boundary
+    (K3M_ROI_CHUNK, default 32) and passes it as a static argument, so a
+    changed env var retraces instead of being silently baked into cached
+    executables (a jitted function must not depend on ambient process
+    state)."""
+    if chunk is None:
+        chunk = int(os.environ.get("K3M_ROI_CHUNK", "32"))
+    return _roi_pool(feat, boxes, spatial_scale, output_size=output_size,
+                     chunk=chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("output_size", "chunk"))
+def _roi_pool(feat: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
+              output_size: int = 14, chunk: int = 32) -> jnp.ndarray:
     """Max RoIPool, EXACT caffe/torchvision quantized semantics (the pooler
     of the reference's caffe-trained C4 head, data_prepare.py:203-209):
 
@@ -136,9 +150,7 @@ def roi_pool(feat: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
     # (observed: f32[7056000,1024] = 4 images x 300 rois x 5880 cells
     # exceeding HBM). lax.map over fixed-size roi chunks caps the live
     # window at chunk x 24 MB with bit-identical per-roi math.
-    import os
     N = boxes.shape[0]
-    chunk = int(os.environ.get("K3M_ROI_CHUNK", "32"))
     if chunk <= 0 or N <= chunk:
         return jax.vmap(per_roi)(hstart, hend, wstart, wend)
     pad = (-N) % chunk

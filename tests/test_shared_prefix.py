@@ -45,7 +45,7 @@ def test_shared_prefix_equals_recompute_deterministic(tiny_config, variant):
     # MICRO (1-layer co-attn-free prefix) for the variant sweep — same
     # property, ~1/4 the compile time; the TINY multi-layer-prefix case is
     # covered by test_shared_prefix_multilayer_prefix below
-    from conftest import MICRO, make_micro_batch
+    from tests.conftest import MICRO, make_micro_batch
     cfg = MICRO
     if variant.get("fixed_t_layer"):
         variant = {"fixed_t_layer": 1, "fixed_v_layer": 1}
