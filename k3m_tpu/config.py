@@ -44,7 +44,10 @@ class K3MConfig:
     bi_hidden_size: int = 1024
     bi_num_attention_heads: int = 8
     bi_intermediate_size: int = 1024
-    bi_attention_type: int = 1
+    bi_attention_type: int = 1    # dead key: shipped in the reference's
+                                  # JSON (bert_base_6layer_6conect.json:22)
+                                  # but read by NO reference code; accepted
+                                  # for config-file compatibility only
     v_biattention_id: Tuple[int, ...] = (0, 1, 2, 3, 4, 5)
     t_biattention_id: Tuple[int, ...] = (6, 7, 8, 9, 10, 11)
 
@@ -54,7 +57,10 @@ class K3MConfig:
     fixed_v_layer: int = 0
     fixed_t_layer: int = 0
     in_batch_pairs: bool = False
-    fusion_method: str = "mul"
+    fusion_method: str = "mul"    # dead in the reference too: its only
+                                  # consumer is commented out
+                                  # (vilbert_k3m.py:1873); kept for
+                                  # config-file compatibility
     dynamic_attention: bool = False
     with_coattention: bool = True
     objective: int = 0
@@ -127,6 +133,11 @@ class K3MConfig:
             raise ValueError("v_hidden_size % v_num_attention_heads != 0")
         if self.bi_hidden_size % self.bi_num_attention_heads:
             raise ValueError("bi_hidden_size % bi_num_attention_heads != 0")
+        if self.visualization and self.use_pallas:
+            raise ValueError(
+                "visualization=True needs the unfused attention path: the "
+                "fused Pallas kernels never materialize attention probs "
+                "(set use_pallas=False to collect them)")
 
     # ------------------------------------------------------------------ io
 

@@ -85,12 +85,14 @@ class BiAttention(nn.Module):
         ctx1 = attention_core(split_heads(q2, h), split_heads(k1, h),
                               split_heads(v1, h), bias1,
                               dropout_rate=self.dropout1,
-                              deterministic=deterministic, module=self)
+                              deterministic=deterministic, module=self,
+                              sow_probs=cfg.visualization, sow_name="attn1")
         # context2: stream1 queries attend stream2 keys/values (ref :805-824)
         ctx2 = attention_core(split_heads(q1, h), split_heads(k2, h),
                               split_heads(v2, h), bias2,
                               dropout_rate=self.dropout2,
-                              deterministic=deterministic, module=self)
+                              deterministic=deterministic, module=self,
+                              sow_probs=cfg.visualization, sow_name="attn2")
         return merge_heads(ctx1), merge_heads(ctx2)
 
 

@@ -110,8 +110,17 @@ def dropout(module: nn.Module, x, rate: float, deterministic: bool,
 
 def attention_core(q, k, v, bias, *, dropout_rate: float, deterministic: bool,
                    module: Optional[nn.Module] = None,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False,
+                   sow_probs: bool = False, sow_name: str = "attention_probs"):
     """Scaled dot-product attention over [B, L, H, D] tensors.
+
+    With `sow_probs` (config.visualization), the post-dropout [B, H, Lq, Lk]
+    attention probabilities are sown into the "intermediates" collection
+    under `sow_name` — the reference's attn_data return
+    (vilbert_k3m.py:466-475, post-dropout per :455-459); collect them with
+    `model.apply(..., mutable=["intermediates"])` (model/visualize.py).
+    Unavailable on the fused Pallas path (probs never materialize) —
+    config rejects visualization+use_pallas.
 
     The head axis stays in position 2 end-to-end: `split_heads` is a pure
     reshape and both einsums carry (b, h) as dot batch dims directly, so no
@@ -154,6 +163,8 @@ def attention_core(q, k, v, bias, *, dropout_rate: float, deterministic: bool,
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
     if not deterministic and dropout_rate > 0.0 and module is not None:
         probs = dropout(module, probs, dropout_rate, deterministic=False)
+    if sow_probs and module is not None:
+        module.sow("intermediates", sow_name, probs)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                      preferred_element_type=jnp.float32)
     return ctx.astype(v.dtype)
@@ -268,12 +279,18 @@ class BertEmbeddings(nn.Module):
     decoder can be weight-tied to it (ref tie_weights :2266-2272).
     `config.model == "roberta"` offsets position ids by padding_idx+1 = 2
     (RobertaEmbeddings, ref :385-408).
+
+    `config.task_specific_tokens` inserts a learned per-task embedding
+    right after [CLS] (ref :358-381: a 20-entry table, concatenated between
+    tokens 0 and 1 BEFORE LayerNorm; the inserted row gets no position or
+    type embedding, exactly like the reference). Output length becomes
+    L + task_ids.shape[-1] (one task token in every reference use).
     """
     config: K3MConfig
 
     @nn.compact
     def __call__(self, input_ids, token_type_ids, word_embedding_table, *,
-                 deterministic: bool):
+                 deterministic: bool, task_ids=None):
         cfg = self.config
         dtype = compute_dtype(cfg)
         init = dense_init(cfg.initializer_range)
@@ -293,6 +310,20 @@ class BertEmbeddings(nn.Module):
             pos_ids = pos_ids + 2
         x = (word_embedding_table[input_ids] + pos_emb[pos_ids][None, :, :]
              + type_emb[token_type_ids])
+        if cfg.task_specific_tokens:
+            # ref :359-360: the 20-entry table exists whenever the flag is
+            # on; ref :373-377: insert after [CLS], before LayerNorm
+            task_emb = self.param("task_embeddings", init,
+                                  (20, cfg.hidden_size), jnp.float32)
+            if task_ids is None:
+                raise ValueError(
+                    "task_specific_tokens=True requires task_ids (the "
+                    "reference crashes on task_ids=None too, "
+                    "vilbert_k3m.py:374)")
+            t = task_emb[task_ids]
+            if t.ndim == 2:                      # [B] ids -> one task token
+                t = t[:, None, :]
+            x = jnp.concatenate([x[:, :1], t, x[:, 1:]], axis=1)
         x = LayerNorm(dtype=dtype, fused=cfg.use_pallas_ln,
                       name="LayerNorm")(x)
         if not deterministic and cfg.hidden_dropout_prob > 0:
@@ -365,7 +396,8 @@ class SelfAttention(nn.Module):
                 split_heads(qi, self.num_heads), split_heads(ki, self.num_heads),
                 split_heads(vi, self.num_heads), bi,
                 dropout_rate=self.attn_dropout, deterministic=deterministic,
-                module=self, use_pallas=cfg.use_pallas)
+                module=self, use_pallas=cfg.use_pallas,
+                sow_probs=cfg.visualization)
             outs.append(merge_heads(ctx))
         if multi:
             return Packed.pack(outs)

@@ -67,7 +67,8 @@ class K3MTrunk(nn.Module):
     def __call__(self, input_ids, image_feat, image_loc, token_type_ids,
                  attention_mask, image_attention_mask,
                  input_ids_pv, token_type_ids_pv, attention_mask_pv,
-                 *, deterministic: bool = True, gumbel_noise=None):
+                 *, deterministic: bool = True, gumbel_noise=None,
+                 task_ids=None):
         cfg = self.config
         dtype = compute_dtype(cfg)
 
@@ -80,6 +81,17 @@ class K3MTrunk(nn.Module):
         if token_type_ids_pv is None:
             token_type_ids_pv = jnp.zeros_like(input_ids_pv)
 
+        if cfg.task_specific_tokens:
+            # one task token lengthens both text streams; the reference
+            # extends each mask by PREPENDING a ones column (ref
+            # :2534-2541 — note: prepended, not inserted at position 1,
+            # so padding masks shift one slot late; replicated verbatim)
+            ones = jnp.ones_like(attention_mask[:, :1])
+            attention_mask = jnp.concatenate([ones, attention_mask], axis=1)
+            ones_pv = jnp.ones_like(attention_mask_pv[:, :1])
+            attention_mask_pv = jnp.concatenate(
+                [ones_pv, attention_mask_pv], axis=1)
+
         txt_bias = mask_to_bias(attention_mask, dtype)
         pv_bias = mask_to_bias(attention_mask_pv, dtype)
         txt_mask2 = attention_mask.astype(dtype)[:, :, None]   # ref :2551
@@ -90,9 +102,9 @@ class K3MTrunk(nn.Module):
             (cfg.vocab_size, cfg.hidden_size), jnp.float32)
         embeddings = BertEmbeddings(cfg, name="embeddings")
         txt_emb = embeddings(input_ids, token_type_ids, word_table,
-                             deterministic=deterministic)
+                             deterministic=deterministic, task_ids=task_ids)
         pv_emb = embeddings(input_ids_pv, token_type_ids_pv, word_table,
-                            deterministic=deterministic)
+                            deterministic=deterministic, task_ids=task_ids)
 
         img_emb = None
         img_bias = None
@@ -199,6 +211,19 @@ class K3MForPretraining(nn.Module):
                  gumbel_noise=None,
                  neg_image_idx: Optional[jnp.ndarray] = None):
         cfg = self.config
+        if cfg.task_specific_tokens:
+            # Implemented in the TRUNK (K3MTrunk task_ids + BertEmbeddings
+            # insertion, ref :358-381/:2534-2541) — but the pretraining
+            # LOSS path cannot run under it, in the reference either: the
+            # inserted token lengthens prediction_scores to L+1 while
+            # masked_lm_labels stay L, so the CE at vilbert_k3m.py:2817
+            # crashes (its forward never threads task_ids, :2673-2701).
+            # Fail loudly instead of silently ignoring the flag.
+            raise ValueError(
+                "task_specific_tokens is a trunk-level feature (use "
+                "K3MTrunk with task_ids); the pretraining losses are "
+                "undefined under the inserted token — the reference's own "
+                "pretrain path crashes with it (vilbert_k3m.py:2817)")
         trunk = K3MTrunk(cfg, name="trunk")
         out = trunk(
             batch["input_ids"], batch.get("image_feat"), batch.get("image_loc"),
