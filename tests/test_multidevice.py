@@ -133,3 +133,16 @@ def test_alignment_tp_equals_dp(monkeypatch):
     q = t_tp.state.params["params"]["trunk"]["encoder"]["layer_0"][
         "attention"]["query"]["kernel"]
     assert not q.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_full_geometry_lowering_gate():
+    """Round-3 verdict item 5: the REAL bert-base geometry (12L/768 text,
+    vocab 21128, batch 96, bf16, micro_steps=4) must lower + compile under
+    the 4x2 DPxTP mesh — a production-shape GSPMD issue (e.g. an
+    unshardable dim at 12 heads or vocab 21128 under TP=2) would pass
+    every shrunken-geometry gate. Compile-only (no execution); the
+    persistent cache makes reruns seconds. Same graph as
+    `python __graft_entry__.py --dryrun-full 8`."""
+    import __graft_entry__ as g
+    g._dryrun_full_impl(8)
