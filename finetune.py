@@ -41,6 +41,9 @@ def get_parser():
                    help="in-step microbatches (grad accumulation inside one "
                         "jitted step; combine with --no_remat for the fast "
                         "configuration — see README finetune perf)")
+    p.add_argument("--wire", default=None,
+                   choices=["fp", "int8", "exact"],
+                   help="H2D wire codec for the big image tensors (train/wire.py): fp = bf16/fp16 casts, int8 = per-row int8 feat + uint8 soft labels with on-device dequant, exact = fp32. Default: K3M_WIRE env, else fp")
     p.add_argument("--no_remat", action="store_true",
                    help="disable per-layer rematerialization")
     p.add_argument("--log_steps", default=10, type=int)
@@ -190,6 +193,7 @@ def main(argv=None):
         micro_steps=args.micro_steps,
         adam_eps=args.adam_epsilon,
         seed=args.seed, n_model=args.n_model, sample_batch=sample_batch,
+        wire=args.wire,
         skip_nonfinite=args.skip_nonfinite)
 
     if args.pretrained_model_path:

@@ -77,6 +77,9 @@ def get_parser():
                    help="in-step microbatches (lax.scan grad accumulation "
                         "inside one jitted step; pair with --no_remat for "
                         "peak throughput)")
+    p.add_argument("--wire", default=None,
+                   choices=["fp", "int8", "exact"],
+                   help="H2D wire codec for the big image tensors (train/wire.py): fp = bf16/fp16 casts, int8 = per-row int8 feat + uint8 soft labels with on-device dequant, exact = fp32. Default: K3M_WIRE env, else fp")
     p.add_argument("--no_remat", action="store_true",
                    help="disable per-layer rematerialization (needs "
                         "--micro_steps>1 to fit batch 96 in 16GB HBM)")
@@ -216,6 +219,7 @@ def main(argv=None):
         adam_eps=args.adam_epsilon,
         seed=args.seed, n_model=args.n_model, sample_batch=sample_batch,
         pretrained_paths=pretrained_paths,
+        wire=args.wire,
         skip_nonfinite=args.skip_nonfinite)
 
     if args.pretrained_model_path:

@@ -72,6 +72,9 @@ def get_parser():
                         help="skip (don't apply) any update whose grads "
                              "contain non-finite values instead of "
                              "poisoning params")
+    parser.add_argument("--wire", default=None,
+                   choices=["fp", "int8", "exact"],
+                   help="H2D wire codec for the big image tensors (train/wire.py): fp = bf16/fp16 casts, int8 = per-row int8 feat + uint8 soft labels with on-device dequant, exact = fp32. Default: K3M_WIRE env, else fp")
     parser.add_argument("--no_remat", action="store_true",
                         help="disable per-layer rematerialization")
     parser.add_argument("--adam_epsilon", default=1e-8, type=float)
@@ -223,6 +226,7 @@ def main(argv=None):
         n_model=args.n_model,
         sample_batch=sample_batch,
         pretrained_paths=pretrained_paths,
+        wire=args.wire,
         skip_nonfinite=args.skip_nonfinite,
     )
     if args.pretrained_model_path:
