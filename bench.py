@@ -251,13 +251,19 @@ def bench_e2e(n_records: int = 2112, windows: int = 3,
         mesh=mesh_lib.make_mesh(n_model=1))
     m = trainer.train_step(sample)     # compile
     jax.device_get(m["loss"])
-    # wire payload of one encoded batch (diagnostic, MB)
+    # wire payload of one encoded batch (diagnostic, MB) — reproduce the
+    # exact _stage casts per mode so the number is what actually ships
+    enc = dict(device_batch(sample))
+    quantize_target = not os.environ.get("K3M_EXACT_TARGETS")
     if wire == "int8":
-        enc = wire_lib.encode_pretrain(
-            device_batch(sample),
-            quantize_target=not os.environ.get("K3M_EXACT_TARGETS"))
-    else:
-        enc = device_batch(sample)
+        enc = wire_lib.encode_pretrain(enc, quantize_target=quantize_target)
+    elif wire == "fp":
+        import ml_dtypes
+        enc["image_feat"] = np.asarray(enc["image_feat"]).astype(
+            ml_dtypes.bfloat16)
+        if quantize_target:
+            enc["image_target"] = np.asarray(enc["image_target"]).astype(
+                np.float16)
     wire_mb = wire_lib.wire_bytes(enc) / 1e6
     rates = []
     for _ in range(windows):
