@@ -53,6 +53,22 @@ def _spread(rates) -> dict:
             "windows": len(rs)}
 
 
+def stable_windows(run_window, windows: int = 3, max_extra: int = 2,
+                   ratio: float = 2.0) -> dict:
+    """Run >= `windows` timing windows; if the spread is implausible
+    (max/min > `ratio` — the shared-pool chip can stall mid-window for
+    minutes, r4 observed a 27.6 pairs/s window against a 75.9 median),
+    run up to `max_extra` additional windows so the median is taken over
+    mostly-healthy samples. Every window stays in the reported spread —
+    nothing is discarded, the artifact keeps its error bars."""
+    rates = [run_window() for _ in range(windows)]
+    extra = 0
+    while extra < max_extra and max(rates) > ratio * max(min(rates), 1e-9):
+        rates.append(run_window())
+        extra += 1
+    return _spread(rates)
+
+
 # Peak bf16 matmul throughput per chip, by device_kind prefix. Used only
 # for the reported MFU estimate; unknown kinds report mfu=null.
 PEAK_BF16_FLOPS = [
@@ -122,16 +138,18 @@ def bench_jax(n_data: "int | None" = None, n_model: int = 1,
     # intermittently returns before remote completion (phantom ~10ms steps)
     jax.device_get(m["loss"])
     samples_per_step = BATCH * max(n_data, 1)
-    # median of `windows` — the tunneled chip shows run-to-run variance
-    rates = []
-    for _ in range(windows):
+
+    # median of >= `windows` — the tunneled chip shows run-to-run variance
+    # and can stall mid-window (stable_windows adds bounded extras)
+    def run_window():
         t0 = time.perf_counter()
+        m = None
         for _ in range(ITERS):
             m = trainer.train_step(db)
         jax.device_get(m["loss"])
-        dt = time.perf_counter() - t0
-        rates.append(samples_per_step * ITERS / dt / n_chips)
-    spread = _spread(rates)
+        return samples_per_step * ITERS / (time.perf_counter() - t0) / n_chips
+
+    spread = stable_windows(run_window, windows=windows)
     value = spread["median"]
 
     # MFU: XLA's own flop count for the compiled step (fwd+bwd+AdamW over
@@ -197,14 +215,16 @@ def bench_finetune(windows: int = 3) -> "dict | None":
     loss, _ = trainer.train_step(db)   # compile
     jax.device_get(loss)
     iters = 10
-    rates = []
-    for _ in range(windows):
+
+    def run_window():
         t0 = time.perf_counter()
+        lo = None
         for _ in range(iters):
-            loss, _ = trainer.train_step(db)
-        jax.device_get(loss)
-        rates.append(B * iters / (time.perf_counter() - t0))
-    return _spread(rates)
+            lo, _ = trainer.train_step(db)
+        jax.device_get(lo)
+        return B * iters / (time.perf_counter() - t0)
+
+    return stable_windows(run_window, windows=windows)
 
 
 def bench_e2e(n_records: int = 2112, windows: int = 3,
@@ -265,10 +285,10 @@ def bench_e2e(n_records: int = 2112, windows: int = 3,
             enc["image_target"] = np.asarray(enc["image_target"]).astype(
                 np.float16)
     wire_mb = wire_lib.wire_bytes(enc) / 1e6
-    rates = []
-    for _ in range(windows):
+
+    def run_pass():
         it = trainer.prefetch_to_device(iter(loader))
-        m = trainer.train_step(next(it))   # warm this window's producer
+        m = trainer.train_step(next(it))   # warm this pass's producer
         jax.device_get(m["loss"])
         t0 = time.perf_counter()
         n = 0
@@ -276,11 +296,9 @@ def bench_e2e(n_records: int = 2112, windows: int = 3,
             m = trainer.train_step(batch)
             n += BATCH
         jax.device_get(m["loss"])
-        if n:
-            rates.append(n / (time.perf_counter() - t0))
-    if not rates:
-        return None
-    out = _spread(rates)
+        return n / (time.perf_counter() - t0)
+
+    out = stable_windows(run_pass, windows=windows)
     out["wire"] = wire
     out["wire_mb_per_batch"] = round(wire_mb, 2)
     return out
@@ -321,22 +339,20 @@ def bench_finetune_e2e(n_pairs: int = 416, windows: int = 3,
                                mesh=mesh_lib.make_mesh(n_model=1))
     loss, _ = trainer.train_step(sample)   # compile
     jax.device_get(loss)
-    rates = []
-    for _ in range(windows):
+
+    def run_pass():
         it = trainer.prefetch_to_device(iter(loader))
-        loss, _ = trainer.train_step(next(it))   # warm the producer
-        jax.device_get(loss)
+        lo, _ = trainer.train_step(next(it))   # warm the producer
+        jax.device_get(lo)
         t0 = time.perf_counter()
         n = 0
         for batch in it:
-            loss, _ = trainer.train_step(batch)
+            lo, _ = trainer.train_step(batch)
             n += B
-        jax.device_get(loss)
-        if n:
-            rates.append(n / (time.perf_counter() - t0))
-    if not rates:
-        return None
-    out = _spread(rates)
+        jax.device_get(lo)
+        return n / (time.perf_counter() - t0)
+
+    out = stable_windows(run_pass, windows=windows)
     out["wire"] = wire
     return out
 
