@@ -476,6 +476,15 @@ def main():
 
     from k3m_tpu.utils.jax_setup import setup_jax
     setup_jax()
+    # First device touch can queue for minutes behind another tenant of
+    # the shared pool — make claim-wait visible so a slow bench artifact
+    # is attributable (see k3m_tpu/tools/probe.py).
+    import jax
+    t0 = time.perf_counter()
+    _ = jax.devices()
+    claim_s = time.perf_counter() - t0
+    if claim_s > 30:
+        print(f"# TPU pool claim took {claim_s:.0f}s", file=sys.stderr)
     res = bench_jax(n_data=args.n_data, n_model=args.n_model)
     value = res["value"]
     baseline = load_baseline()
