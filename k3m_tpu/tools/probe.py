@@ -26,16 +26,18 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    # ONE jitted callable reused by the claim probe and the timing loop —
+    # a fresh jax.jit(lambda) per iteration would retrace+recompile every
+    # time, so the timings would measure host compile, not the chip/link.
+    f = jax.jit(lambda a: (a @ a).sum())
     x = jnp.ones((1024, 1024), jnp.bfloat16)
-    y = jax.jit(lambda a: (a @ a).sum())(x)
-    float(jax.device_get(y))          # first executed op: claim + compile
+    float(jax.device_get(f(x)))       # first executed op: claim + compile
     claim_s = time.perf_counter() - t0
 
     times = []
     for _ in range(n):
         t = time.perf_counter()
-        y = jax.jit(lambda a: (a @ a).sum())(x)
-        float(jax.device_get(y))
+        float(jax.device_get(f(x)))
         times.append(round((time.perf_counter() - t) * 1000, 2))
     med = sorted(times)[len(times) // 2]
     print(json.dumps({

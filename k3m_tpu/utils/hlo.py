@@ -46,20 +46,29 @@ def parse_collectives(hlo_text: str) -> List[Collective]:
     `*-start` op's result type is an (inputs..., outputs...) buffer tuple —
     e.g. `(f32[1024], f32[1024]) all-reduce-start(...)` — so summing every
     tuple element would double-count the payload; only the output half is
-    counted (for variadic collectives the halves pair up element-wise)."""
+    counted (for variadic collectives the halves pair up element-wise).
+    Some XLA versions append rank-0 context scalars to the tuple (e.g.
+    collective-permute-start returning (in, out, u32[], u32[])): naively
+    halving that 4-tuple would keep only the two scalars and drop the real
+    payload, so rank-0 elements are excluded from the halving whenever any
+    ranked payload element exists."""
     out = []
     for raw in hlo_text.splitlines():
         line = raw.strip()
         m = _COLLECTIVE_RE.match(line)
         if not m:
             continue
-        shapes = []
+        shapes = []        # ranked (payload) element byte sizes
+        scalars = []       # rank-0 elements (context scalars, or a true
+                           # scalar collective when no ranked payload exists)
         for dt, dims in _SHAPE_RE.findall(m.group("restype")):
             n = 1
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            shapes.append(n * _DTYPE_BYTES[dt])
+            (scalars if dims == "" else shapes).append(n * _DTYPE_BYTES[dt])
+        if not shapes:     # genuinely scalar collective: count the scalars
+            shapes, scalars = scalars, []
         if m.group("start") and len(shapes) >= 2:
             shapes = shapes[len(shapes) // 2:]
         out.append(Collective(m.group("op"), sum(shapes), line[:160]))

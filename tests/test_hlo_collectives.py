@@ -94,3 +94,31 @@ def test_tp_step_has_no_param_sized_allgather(monkeypatch):
     ar = agg.get("all-reduce", 0)
     assert ar >= 0.9 * pbytes
     assert ar <= 6.0 * pbytes, (ar, pbytes)
+
+
+def test_parse_collectives_synthetic_hlo():
+    """Unit-pin the async-start tuple accounting on hand-written HLO lines
+    (no compiler in the loop): payload counted once per start/done pair,
+    rank-0 context scalars excluded from the halving, genuinely scalar
+    collectives still counted."""
+    txt = "\n".join([
+        # plain sync all-reduce: full result counted
+        "%ar = f32[1024]{0} all-reduce(f32[1024]{0} %g), to_apply=%add",
+        # async pair: (input, output) tuple on the start; -done not counted
+        "%st = (f32[256]{0}, f32[256]{0}) all-reduce-start(f32[256]{0} %x)",
+        "%dn = f32[256]{0} all-reduce-done((f32[256],f32[256]) %st)",
+        # collective-permute-start carrying u32[] context scalars (some XLA
+        # versions): naive halving would keep only the scalars
+        "%cp = (bf16[8,4]{1,0}, bf16[8,4]{1,0}, u32[], u32[]) "
+        "collective-permute-start(bf16[8,4]{1,0} %a)",
+        # scalar all-reduce-start: no ranked payload, halve the scalars
+        "%sc = (f32[], f32[]) all-reduce-start(f32[] %s)",
+    ])
+    cs = {}
+    for c in hlo.parse_collectives(txt):
+        cs.setdefault(c.op, []).append(c.nbytes)
+    assert cs["all-reduce"] == [4096, 1024, 4]      # done-op not re-counted
+    assert cs["collective-permute"] == [8 * 4 * 2]  # payload, not the u32[]s
+    agg = hlo.collective_bytes(txt)
+    assert agg == {"all-reduce": 4096 + 1024 + 4,
+                   "collective-permute": 64}
