@@ -69,12 +69,19 @@ class AlignmentTrainer:
                  n_model: int = 1,
                  mesh: Optional[Any] = None,
                  wire: Optional[str] = None,
+                 device_cache: Optional[bool] = None,
                  sample_batch: Optional[Dict] = None,
                  skip_nonfinite: bool = False):
         self.config = config
         # H2D wire codec mode ("fp" | "int8" | "exact"); see train/wire.py
         from k3m_tpu.train import wire as wire_lib
         self.wire = wire_lib.wire_mode(wire)
+        # HBM-resident epoch cache (static-masking semantics; the
+        # alignment pipeline has no per-epoch masking at all, so for
+        # finetune the only frozen draw is the loader's pair shuffle
+        # order — re-permuted per epoch anyway). See train/device_cache.py.
+        self.device_cache = (bool(int(os.environ.get("K3M_DEVICE_CACHE", "0")))
+                             if device_cache is None else device_cache)
         # In-step microbatching (same lever as PretrainTrainer: grads
         # averaged over micro_steps slices inside one jitted step — the
         # reference's own grad-accumulation normalization,
@@ -250,27 +257,12 @@ class AlignmentTrainer:
         return loss, probs
 
     def prefetch_to_device(self, loader, depth: "int | None" = None):
-        """Stage `depth` batches ahead so the H2D copy of batch N+1
-        overlaps the device compute of batch N (same pattern as
-        PretrainTrainer.prefetch_to_device — jax.device_put is async;
-        that path measured 70.5 -> ~140 samples/s from this change). On
-        this environment's tunneled chip the finetune e2e numbers are
-        dominated by link variance (10-13 pairs/s across runs, device
-        rate 38.6), so the win shows on real hosts, not here."""
-        import collections
-        import itertools
-        if depth is None:
-            depth = max(1, int(os.environ.get("K3M_PREFETCH_DEPTH", "2")))
-            # depth < 1 would prime an empty queue and yield nothing
-        queue = collections.deque()
-        it = iter(loader)
-        for batch in itertools.islice(it, depth):
-            queue.append(self._shard(batch))
-        while queue:
-            nxt = next(it, None)
-            if nxt is not None:
-                queue.append(self._shard(nxt))
-            yield queue.popleft()
+        """Stage `depth` batches ahead on a background thread so the wire
+        encode + async H2D copy of batch N+1 overlap the device compute of
+        batch N (shared staged_prefetch, train/prefetch.py — same pattern
+        as PretrainTrainer.prefetch_to_device)."""
+        from k3m_tpu.train.prefetch import staged_prefetch
+        return staged_prefetch(loader, self._shard, depth)
 
     def eval_step(self, batch):
         db = self._shard(batch)
@@ -285,6 +277,9 @@ class AlignmentTrainer:
             checkpoint_dir: Optional[str] = None):
         ckpt = (CheckpointManager(checkpoint_dir, self.config)
                 if checkpoint_dir else None)
+        if self.device_cache:
+            from k3m_tpu.train.device_cache import DeviceEpochCache
+            train_loader = DeviceEpochCache(train_loader, self._shard)
         history = []
         for epoch in range(start_epoch, num_epochs):
             if hasattr(train_loader, "epoch"):

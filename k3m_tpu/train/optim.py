@@ -4,6 +4,8 @@ Parity target (train_concap_struc.py:352-448, pretrain.py:372-384):
   * weight decay 0.01, EXCEPT biases and LayerNorm params         (:244)
   * when starting from pretrained BERT weights, those weights get 0.1x LR
     (:372-373)
+  * AdamW betas (0.9, 0.98) — every reference driver passes them
+    explicitly (train_concap_struc.py:440, pretrain.py:376, finetune.py:360)
   * WarmupLinearSchedule: linear 0 -> lr over warmup, then linear decay to 0
     (pytorch_transformers WarmupLinearSchedule; local `warmup_linear`
     helpers at train_concap_struc.py:60-65)
@@ -58,7 +60,9 @@ def make_optimizer(params: Any,
                    grad_accum_steps: int = 1,
                    pretrained_paths: Optional[Set[str]] = None,
                    max_grad_norm: float = 0.0,
-                   adam_eps: float = 1e-6,
+                   adam_eps: float = 1e-8,
+                   b1: float = 0.9,
+                   b2: float = 0.98,
                    ) -> optax.GradientTransformation:
     """Build the full optax chain.
 
@@ -83,7 +87,10 @@ def make_optimizer(params: Any,
     if max_grad_norm and max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.extend([
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=adam_eps),
+        # betas default (0.9, 0.98): the reference's explicit choice in all
+        # three drivers (train_concap_struc.py:440), NOT Adam's textbook
+        # 0.999 — a trajectory-visible semantic (tests/test_trainer_trajectory.py)
+        optax.scale_by_adam(b1=b1, b2=b2, eps=adam_eps),
         optax.add_decayed_weights(weight_decay, mask=decay_mask),
         optax.scale_by_learning_rate(schedule),
         # per-parameter lr multiplier (0.1x for pretrained weights)

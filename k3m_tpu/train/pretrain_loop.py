@@ -20,7 +20,6 @@ Loss composition (ref :481-533):
 
 from __future__ import annotations
 
-import collections
 import itertools
 import logging
 import os
@@ -49,8 +48,18 @@ BATCH_KEYS = ("input_ids", "input_mask", "segment_ids", "lm_label_ids",
               "image_label", "image_mask")
 
 
+# RNG-replay injection seam (tests/test_trainer_trajectory.py): the
+# reference draws its LPM negatives / Gumbel noise / NCE indices inside
+# the torch forward (vilbert_k3m.py:2364,2480,2769); trajectory-parity
+# tests replay those draws and feed them through the batch dict, which
+# the trainer forwards to model.apply instead of drawing its own.
+INJECT_KEYS = ("neg_entity_idx", "neg_value_idx", "gumbel_noise",
+               "neg_image_idx")
+
+
 def device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    return {k: batch[k] for k in BATCH_KEYS if k in batch}
+    keep = BATCH_KEYS + INJECT_KEYS
+    return {k: batch[k] for k in keep if k in batch}
 
 
 def apply_objective(batch: Dict[str, jnp.ndarray], objective: int
@@ -83,7 +92,7 @@ class PretrainTrainer:
                  micro_steps: int = 1,
                  micro_unroll: bool = False,
                  skip_nonfinite: bool = False,
-                 adam_eps: float = 1e-6,
+                 adam_eps: float = 1e-8,
                  loss_img_weight: float = 1.0,
                  objective: int = 0,
                  seed: int = 42,
@@ -91,11 +100,16 @@ class PretrainTrainer:
                  pretrained_paths=None,
                  mesh: Optional[Any] = None,
                  wire: Optional[str] = None,
+                 device_cache: Optional[bool] = None,
                  sample_batch: Optional[Dict[str, np.ndarray]] = None):
         self.config = config
         # H2D wire codec mode ("fp" | "int8" | "exact"); see train/wire.py
         from k3m_tpu.train import wire as wire_lib
         self.wire = wire_lib.wire_mode(wire)
+        # keep each epoch's staged batches resident in HBM (static-masking
+        # semantics; see train/device_cache.py). --device_cache on the CLIs.
+        self.device_cache = (bool(int(os.environ.get("K3M_DEVICE_CACHE", "0")))
+                             if device_cache is None else device_cache)
         self.model = K3MForPretraining(config)
         self.loss_img_weight = loss_img_weight
         self.objective = objective
@@ -161,8 +175,11 @@ class PretrainTrainer:
     # ------------------------------------------------------------- steps
 
     def _losses(self, params, batch, rngs, deterministic: bool):
+        inject = {k: batch[k] for k in INJECT_KEYS if k in batch}
+        if inject:
+            batch = {k: v for k, v in batch.items() if k not in INJECT_KEYS}
         out = self.model.apply(params, batch, deterministic=deterministic,
-                               rngs=rngs)
+                               rngs=rngs, **inject)
         align = out["next_sentence_loss_t_v_pv"]
         if self.objective == 2:
             align = align * 0.0  # ref :497-500
@@ -206,6 +223,10 @@ class PretrainTrainer:
 
         def micro_step_fn(state: TrainState, batch):
             M = self.micro_steps
+            if any(k in batch for k in INJECT_KEYS):
+                # injected negatives/noise index FULL-batch rows; slicing
+                # them per microbatch would silently corrupt the draws
+                raise ValueError("RNG-replay injection requires micro_steps=1")
             batch = apply_objective(batch, self.objective)
             rng = jax.random.fold_in(self.base_rng, state.step)
             B = batch["input_ids"].shape[0]
@@ -332,24 +353,15 @@ class PretrainTrainer:
         return mesh_lib.shard_batch(b, self.mesh)
 
     def prefetch_to_device(self, loader: Iterable, depth: "int | None" = None):
-        """Stage `depth` batches ahead of the consumer. jax.device_put is
-        asynchronous, so the H2D copy of batch N+1 (tens of MB — the whole
-        bottleneck on a tunneled chip) overlaps the device compute of batch
-        N; measured 70.5 -> ~140 samples/s/chip on the e2e fit() path.
-        Default 2 (K3M_PREFETCH_DEPTH to override; 4 buys ~1% more on the
-        tunneled link at ~100 MB extra HBM for the staged batches)."""
-        if depth is None:
-            depth = max(1, int(os.environ.get("K3M_PREFETCH_DEPTH", "2")))
-            # depth < 1 would prime an empty queue and yield nothing
-        queue = collections.deque()
-        it = iter(loader)
-        for batch in itertools.islice(it, depth):
-            queue.append(self._stage(batch))
-        while queue:
-            nxt = next(it, None)
-            if nxt is not None:
-                queue.append(self._stage(nxt))
-            yield queue.popleft()
+        """Stage `depth` batches ahead of the consumer on a background
+        thread (train/prefetch.py): both the host wire-encode and the
+        async H2D copy of batch N+1 (tens of MB — the whole bottleneck on
+        a tunneled chip) overlap the device compute of batch N; the
+        device_put overlap alone measured 70.5 -> ~140 samples/s/chip on
+        the e2e fit() path (r2), the r5 thread takes the int8 encode off
+        the step loop too. Depth default 2; K3M_PREFETCH_DEPTH overrides."""
+        from k3m_tpu.train.prefetch import staged_prefetch
+        return staged_prefetch(loader, self._stage, depth)
 
     def warmup(self, batch: Dict[str, np.ndarray],
                barrier_timeout_s: int = 1800) -> None:
@@ -403,10 +415,19 @@ class PretrainTrainer:
                                finish the in-flight step, save a mid-epoch
                                checkpoint, and return cleanly; the next run
                                auto-resumes from it.
+
+        With device_cache on, epoch 1 stages the train set into HBM and
+        epochs 2+ iterate on-device at the staged rate — zero input wire
+        traffic (train/device_cache.py; falls back to streaming when the
+        epoch exceeds the HBM budget).
         """
         import itertools
         import signal
         import threading
+
+        if self.device_cache:
+            from k3m_tpu.train.device_cache import DeviceEpochCache
+            train_loader = DeviceEpochCache(train_loader, self._stage)
 
         ckpt = (CheckpointManager(checkpoint_dir, self.config)
                 if checkpoint_dir and save_checkpoints else None)

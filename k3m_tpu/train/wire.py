@@ -30,9 +30,11 @@ Modes (K3M_WIRE env var or the trainers' `wire=` argument):
           K3M_EXACT_TARGETS=1 escape hatch, which still overrides the
           target handling in every mode).
 
-Encode runs on host numpy (inside the loader prefetch thread), decode is
+Encode runs on host numpy on the staging thread (train/prefetch.py — the
+producer behind prefetch_to_device, NOT the consumer step loop), decode is
 traced into the train step, so the quantized form only ever exists on the
-wire and in HBM staging buffers.
+wire and in HBM staging buffers, and the ~30 MB/batch rint/clip never sits
+between train_step dispatches.
 """
 
 from __future__ import annotations

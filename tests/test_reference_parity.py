@@ -120,7 +120,11 @@ def _batch(rng, v_target_size=9):
 
 
 def _replay_lpm_draws(index_p, num_negative_pv):
-    """Replay the reference's random.sample sequence (ref :2469-2497)."""
+    """Replay the reference's random.sample sequence (ref :2469-2497).
+
+    Shapes come from index_p, so the helper serves both this module's
+    (3, 3, 2) fixtures and the trajectory test's pipeline-sized batches."""
+    B, P = index_p.shape[:2]
     pyrandom.seed(SEED)
     n_valid = [(index_p[i, :, 0] != 0).sum() for i in range(B)]
     n_ent = num_negative_pv // 2
