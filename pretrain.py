@@ -77,6 +77,8 @@ def get_parser():
                    help="in-step microbatches (lax.scan grad accumulation "
                         "inside one jitted step; pair with --no_remat for "
                         "peak throughput)")
+    p.add_argument("--device_cache", action="store_true",
+                   help="keep each epoch's staged batches resident in HBM and iterate on-device from epoch 2 (static-masking semantics; zero input wire traffic; auto-falls back to streaming if the epoch exceeds the HBM budget — train/device_cache.py)")
     p.add_argument("--wire", default=None,
                    choices=["fp", "int8", "exact"],
                    help="H2D wire codec for the big image tensors (train/wire.py): fp = bf16/fp16 casts, int8 = per-row int8 feat + uint8 soft labels with on-device dequant, exact = fp32. Default: K3M_WIRE env, else fp")
@@ -220,6 +222,7 @@ def main(argv=None):
         seed=args.seed, n_model=args.n_model, sample_batch=sample_batch,
         pretrained_paths=pretrained_paths,
         wire=args.wire,
+        device_cache=args.device_cache or None,
         skip_nonfinite=args.skip_nonfinite)
 
     if args.pretrained_model_path:

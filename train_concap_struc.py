@@ -72,6 +72,8 @@ def get_parser():
                         help="skip (don't apply) any update whose grads "
                              "contain non-finite values instead of "
                              "poisoning params")
+    parser.add_argument("--device_cache", action="store_true",
+                   help="keep each epoch's staged batches resident in HBM and iterate on-device from epoch 2 (static-masking semantics; zero input wire traffic; auto-falls back to streaming if the epoch exceeds the HBM budget — train/device_cache.py)")
     parser.add_argument("--wire", default=None,
                    choices=["fp", "int8", "exact"],
                    help="H2D wire codec for the big image tensors (train/wire.py): fp = bf16/fp16 casts, int8 = per-row int8 feat + uint8 soft labels with on-device dequant, exact = fp32. Default: K3M_WIRE env, else fp")
@@ -227,6 +229,7 @@ def main(argv=None):
         sample_batch=sample_batch,
         pretrained_paths=pretrained_paths,
         wire=args.wire,
+        device_cache=args.device_cache or None,
         skip_nonfinite=args.skip_nonfinite,
     )
     if args.pretrained_model_path:
