@@ -146,3 +146,16 @@ def test_full_geometry_lowering_gate():
     `python __graft_entry__.py --dryrun-full 8`."""
     import __graft_entry__ as g
     g._dryrun_full_impl(8)
+
+
+@pytest.mark.slow
+def test_full_geometry_exec_gate():
+    """Round-4 verdict item 4: EXECUTE (not just compile) the bert-base
+    geometry on the 4x2 mesh — one real train step at batch 8, finite
+    loss, and per-metric parity <= 1e-5 (fp32) vs the same batch + init
+    on a 1x1 mesh. Catches TP-reduction numerical bugs (head splits at 12
+    heads, vocab shards at 21128) the compile-only gate cannot. Same
+    graphs as `python __graft_entry__.py --dryrun-full-exec 8`."""
+    import __graft_entry__ as g
+    out = g._dryrun_full_exec_impl(8)
+    assert out["max_metric_drift_vs_1x1"] <= 1e-5
