@@ -54,8 +54,12 @@ def make_records(path_k3mr, path_ar, n=1024):
                        features=rng.random((36, 2048), dtype=np.float32),
                        cls_prob=rng.random((36, 1601), dtype=np.float32))
 
-    write_records(path_k3mr, gen())
-    write_array_records(path_ar, gen())
+    # materialize ONCE: both files must hold the same records in the same
+    # order (the r5 Grain native-hybrid reads the K3MR sibling by the
+    # ArrayRecord sampler's record index)
+    recs = list(gen())
+    write_records(path_k3mr, iter(recs))
+    write_array_records(path_ar, iter(recs))
 
 
 def timed(loader, label, n_batches):

@@ -112,6 +112,47 @@ class _PairMap(grain.MapTransform if HAVE_GRAIN else object):
         return self._pre(unpack_record(element))
 
 
+class _KeyOp:
+    """Raw Grain Operation that strips payloads and yields only the record
+    key: the native-hybrid path (below) uses Grain purely for its sampler —
+    seeded shuffle, per-jax-process sharding, deterministic order — and
+    hands the sampled indices to the C++ batch producer, so no record bytes
+    or Python preprocessing ever flow through the Grain worker at all."""
+
+    def __call__(self, input_iterator):
+        for rec in input_iterator:
+            key = int(rec.metadata.record_key)
+            yield grain.Record(rec.metadata.remove_record_key(), key)
+
+
+def _native_sibling(path: str, explicit: Optional[str]) -> Optional[str]:
+    if explicit is not None:
+        return explicit if os.path.exists(explicit) else None
+    if path.endswith(".array_record"):
+        sib = path[: -len(".array_record")] + ".k3mr"
+        return sib if os.path.exists(sib) else None
+    return None
+
+
+def _siblings_match(ar_path: str, k3mr_path: str, n: int) -> bool:
+    """Cheap same-content guard for the hybrid: the K3MR sibling must hold
+    the SAME records in the SAME order (the native producer reads by
+    index). Checks length + first/last item_id — full-content parity is
+    golden-tested in tests/test_grain_pipeline.py."""
+    from k3m_tpu.data.records import RecordReader
+    try:
+        rd = RecordReader(k3mr_path)
+        if len(rd) != n:
+            return False
+        store = ArrayRecordStore(ar_path)
+        for i in (0, n - 1):
+            if str(rd[i].get("item_id")) != str(store[i].get("item_id")):
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def _loader(path: str, transform, batch_size: int, shuffle: bool,
             seed: int, num_workers: int):
     """One-EPOCH DataLoader yielding PER-SAMPLE dicts. Batching happens in
@@ -162,7 +203,8 @@ class GrainPretrainLoader:
                  shapes: Optional[ShapeSpec] = None, batch_size: int = 32,
                  shuffle: bool = True, seed: int = 0, visual_target: int = 0,
                  num_epochs: Optional[int] = None, num_workers: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, native_preprocess: bool = True,
+                 native_sibling: Optional[str] = None):
         if not HAVE_GRAIN:
             raise RuntimeError("grain/array_record not available")
         shapes = shapes or ShapeSpec()
@@ -176,6 +218,24 @@ class GrainPretrainLoader:
         self._seed = seed
         self._workers = num_workers
         self.epoch = 0   # bumped per full iteration, like _LoaderBase
+        # Native hybrid (r5, closes the 3x per-record tax profiled in
+        # docs/GRAIN.md): Grain supplies ONLY the sampled record order
+        # (seeded shuffle + ShardByJaxProcess); whole batches are then
+        # produced by the C++ producer (runtime/preprocess.cc) from a
+        # same-content K3MR sibling file, exactly like PretrainLoader's
+        # native path. Batches are bit-identical to the pure-Grain path
+        # (same per-record rng stream (seed, epoch, key, 0); golden test
+        # in tests/test_grain_pipeline.py). Opt out with
+        # native_preprocess=False / K3M_NATIVE_PREPROCESS=0.
+        self._native = None
+        if native_preprocess and hasattr(tokenizer, "vocab_list"):
+            sib = _native_sibling(path, native_sibling)
+            if sib and _siblings_match(path, sib, self.num_dataset):
+                from k3m_tpu.runtime import get_native_pretrain_preprocessor
+                nat = get_native_pretrain_preprocessor(
+                    sib, tokenizer, shapes, visual_target=visual_target)
+                if nat is not None and len(nat) == self.num_dataset:
+                    self._native = nat
 
     def __len__(self) -> int:
         n = self.num_dataset
@@ -183,13 +243,22 @@ class GrainPretrainLoader:
                 else -(-n // self.batch_size))
 
     def __iter__(self):
+        ep = self.epoch
+        epoch_seed = (_epoch_seed(self._seed, ep) if self._shuffle
+                      else self._seed)
+        if self._native is not None:
+            dl = _loader(self._path, _KeyOp(), self.batch_size,
+                         self._shuffle, epoch_seed, self._workers)
+            yield from _batched(
+                iter(dl), self.batch_size, self.drop_last,
+                lambda keys: self._native.batch(keys, self._seed, ep))
+            self.epoch += 1
+            return
         dl = _loader(
             self._path,
             _PretrainMap(self._pre, self._seed, self.num_dataset,
-                         epoch_base=self.epoch),
-            self.batch_size, self._shuffle,
-            _epoch_seed(self._seed, self.epoch) if self._shuffle
-            else self._seed,
+                         epoch_base=ep),
+            self.batch_size, self._shuffle, epoch_seed,
             self._workers)
         yield from _batched(iter(dl), self.batch_size, self.drop_last,
                             collate_pretrain)
@@ -204,7 +273,8 @@ class GrainAlignmentLoader:
                  shapes: Optional[ShapeSpec] = None, batch_size: int = 32,
                  shuffle: bool = False, seed: int = 0, visual_target: int = 0,
                  num_epochs: Optional[int] = None, num_workers: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, native_preprocess: bool = True,
+                 native_sibling: Optional[str] = None):
         if not HAVE_GRAIN:
             raise RuntimeError("grain/array_record not available")
         shapes = shapes or ShapeSpec()
@@ -218,6 +288,17 @@ class GrainAlignmentLoader:
         self._seed = seed
         self._workers = num_workers
         self.epoch = 0
+        # native hybrid: Grain sampling + C++ pair-batch producer (see
+        # GrainPretrainLoader.__init__; pair preprocessing draws no rng)
+        self._native = None
+        if native_preprocess and hasattr(tokenizer, "vocab_list"):
+            sib = _native_sibling(path, native_sibling)
+            if sib and _siblings_match(path, sib, self.num_dataset):
+                from k3m_tpu.runtime import get_native_pair_preprocessor
+                nat = get_native_pair_preprocessor(
+                    sib, tokenizer, shapes, visual_target=visual_target)
+                if nat is not None and len(nat) == self.num_dataset:
+                    self._native = nat
 
     def __len__(self) -> int:
         n = self.num_dataset
@@ -225,10 +306,17 @@ class GrainAlignmentLoader:
                 else -(-n // self.batch_size))
 
     def __iter__(self):
+        epoch_seed = (_epoch_seed(self._seed, self.epoch) if self._shuffle
+                      else self._seed)
+        if self._native is not None:
+            dl = _loader(self._path, _KeyOp(), self.batch_size,
+                         self._shuffle, epoch_seed, self._workers)
+            yield from _batched(iter(dl), self.batch_size, self.drop_last,
+                                self._native.batch)
+            self.epoch += 1
+            return
         dl = _loader(self._path, _PairMap(self._pre),
-                     self.batch_size, self._shuffle,
-                     _epoch_seed(self._seed, self.epoch) if self._shuffle
-                     else self._seed,
+                     self.batch_size, self._shuffle, epoch_seed,
                      self._workers)
         yield from _batched(iter(dl), self.batch_size, self.drop_last,
                             collate_pairs)

@@ -120,3 +120,55 @@ def test_grain_alignment_loader(array_record_file, tmp_path):
     assert b["label"].shape == (4,)
     assert b["item1"]["input_ids"].shape == (4, 24)
     assert b["item2"]["image_feat"].shape == (4, 5, 2048)
+
+
+@pytest.fixture(scope="module")
+def sibling_pair_files(tmp_path_factory):
+    """Same records written to BOTH backends (the native-hybrid contract:
+    K3MR sibling holds identical records in identical order)."""
+    from k3m_tpu.data.records import write_records
+    d = tmp_path_factory.mktemp("hy")
+    recs = list(build_feature_records(list(parse_raw_tsv(SAMPLE))[:24]))
+    ar, k3mr = str(d / "t.array_record"), str(d / "t.k3mr")
+    grain_pipeline.write_array_records(ar, iter(recs))
+    write_records(k3mr, iter(recs))
+    return ar, k3mr
+
+
+def test_grain_native_hybrid_bit_identical(sibling_pair_files):
+    """r5 Grain native-hybrid (Grain sampler -> C++ batch producer) must
+    produce byte-identical batches to the pure-Grain per-record path, at
+    every epoch (epoch-mixed shuffle + per-record rng streams)."""
+    ar, k3mr = sibling_pair_files
+    tok = get_tokenizer()
+    kw = dict(shapes=SHAPES, batch_size=8, shuffle=True, seed=5)
+    pure = grain_pipeline.GrainPretrainLoader(
+        ar, tok, native_preprocess=False, **kw)
+    hybrid = grain_pipeline.GrainPretrainLoader(
+        ar, tok, native_sibling=k3mr, **kw)
+    if hybrid._native is None:
+        pytest.skip("native preprocessor unavailable")
+    for epoch in range(2):
+        # list() so BOTH generators run to completion (zip() abandons the
+        # second one mid-epilogue and its epoch counter would never bump)
+        for i, (bp, bh) in enumerate(zip(list(iter(pure)),
+                                         list(iter(hybrid)))):
+            assert set(bp) == set(bh)
+            for k in bp:
+                np.testing.assert_array_equal(
+                    np.asarray(bp[k]), np.asarray(bh[k]),
+                    err_msg=f"epoch {epoch} batch {i} key {k}")
+
+
+def test_grain_native_hybrid_refuses_mismatched_sibling(
+        array_record_file, tmp_path):
+    """A K3MR sibling with different content/order must NOT be used."""
+    from k3m_tpu.data.records import write_records
+    bad = str(tmp_path / "bad.k3mr")
+    recs = list(build_feature_records(list(parse_raw_tsv(SAMPLE))[:24]))
+    write_records(bad, iter(reversed(recs)))
+    tok = get_tokenizer()
+    loader = grain_pipeline.GrainPretrainLoader(
+        array_record_file, tok, SHAPES, batch_size=8,
+        native_sibling=bad)
+    assert loader._native is None
