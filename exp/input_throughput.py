@@ -95,9 +95,22 @@ def main():
                          seed=0), "k3mr", n_batches)
     from k3m_tpu.data.grain_pipeline import GrainPretrainLoader
     for w in WORKERS:
+        # native_preprocess=False: keep the pure per-record path measured
+        # under its historical label (the K3MR sibling in this dir would
+        # otherwise silently upgrade it to the hybrid)
         timed(GrainPretrainLoader(ar, tok, SHAPES, batch_size=BATCH,
                                   shuffle=True, seed=0, num_epochs=8,
-                                  num_workers=w), f"grain{w}", n_batches)
+                                  num_workers=w, native_preprocess=False),
+              f"grain{w}", n_batches)
+    # r5 native-hybrid: Grain sampler order -> C++ batch producer on the
+    # K3MR sibling (bit-identical batches, tests/test_grain_pipeline.py)
+    hybrid = GrainPretrainLoader(ar, tok, SHAPES, batch_size=BATCH,
+                                 shuffle=True, seed=0, num_epochs=8)
+    if hybrid._native is not None:
+        timed(hybrid, "grain_native", n_batches)
+    else:
+        print(json.dumps({"loader": "grain_native",
+                          "error": "native producer unavailable"}))
 
 
 if __name__ == "__main__":

@@ -112,17 +112,29 @@ class _PairMap(grain.MapTransform if HAVE_GRAIN else object):
         return self._pre(unpack_record(element))
 
 
-class _KeyOp:
-    """Raw Grain Operation that strips payloads and yields only the record
-    key: the native-hybrid path (below) uses Grain purely for its sampler —
-    seeded shuffle, per-jax-process sharding, deterministic order — and
-    hands the sampled indices to the C++ batch producer, so no record bytes
-    or Python preprocessing ever flow through the Grain worker at all."""
+def _sampled_keys(num_records: int, shuffle: bool, seed: int):
+    """The sampled record-key sequence, straight off grain.IndexSampler.
 
-    def __call__(self, input_iterator):
-        for rec in input_iterator:
-            key = int(rec.metadata.record_key)
-            yield grain.Record(rec.metadata.remove_record_key(), key)
+    The native-hybrid path uses Grain purely for its sampler — seeded
+    shuffle, per-jax-process sharding, deterministic order — so it
+    iterates the sampler DIRECTLY instead of spinning a DataLoader:
+    the DataLoader's per-record Record/metadata/stats plumbing measured
+    ~0.6 ms/record even with an identity operation (1435 -> 779
+    samples/s at the bench config), while sampler[i] is a dict lookup.
+    Order parity with the DataLoader path is golden-tested
+    (tests/test_grain_pipeline.py::test_grain_native_hybrid_bit_identical)."""
+    sampler = grain.IndexSampler(
+        num_records=num_records,
+        shard_options=grain.ShardByJaxProcess(drop_remainder=True),
+        shuffle=shuffle, num_epochs=1, seed=seed)
+    i = 0
+    while True:
+        try:
+            md = sampler[i]
+        except IndexError:
+            return
+        yield int(md.record_key)
+        i += 1
 
 
 def _native_sibling(path: str, explicit: Optional[str]) -> Optional[str]:
@@ -247,11 +259,10 @@ class GrainPretrainLoader:
         epoch_seed = (_epoch_seed(self._seed, ep) if self._shuffle
                       else self._seed)
         if self._native is not None:
-            dl = _loader(self._path, _KeyOp(), self.batch_size,
-                         self._shuffle, epoch_seed, self._workers)
+            keys = _sampled_keys(self.num_dataset, self._shuffle, epoch_seed)
             yield from _batched(
-                iter(dl), self.batch_size, self.drop_last,
-                lambda keys: self._native.batch(keys, self._seed, ep))
+                keys, self.batch_size, self.drop_last,
+                lambda ks: self._native.batch(ks, self._seed, ep))
             self.epoch += 1
             return
         dl = _loader(
@@ -309,9 +320,8 @@ class GrainAlignmentLoader:
         epoch_seed = (_epoch_seed(self._seed, self.epoch) if self._shuffle
                       else self._seed)
         if self._native is not None:
-            dl = _loader(self._path, _KeyOp(), self.batch_size,
-                         self._shuffle, epoch_seed, self._workers)
-            yield from _batched(iter(dl), self.batch_size, self.drop_last,
+            keys = _sampled_keys(self.num_dataset, self._shuffle, epoch_seed)
+            yield from _batched(keys, self.batch_size, self.drop_last,
                                 self._native.batch)
             self.epoch += 1
             return
