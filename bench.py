@@ -384,7 +384,7 @@ def bench_e2e(n_records: int = 2112, windows: int = 3,
     # bounded extra windows on either an implausible rate spread (chip
     # stall) or a degraded link probe, so the published median reflects
     # achievable state while every window stays in the artifact
-    measure_link_mbps(1)                   # warm the probe's slice compile
+    measure_link_mbps()   # warm the probe's slice compile at the real size
     rates, links = [], []
 
     def one_window():
@@ -472,7 +472,7 @@ def bench_finetune_e2e(n_pairs: int = 416, windows: int = 3,
         links.append(round(measure_link_mbps(), 1))
         return run_pass()
 
-    measure_link_mbps(1)               # warm the probe's slice compile
+    measure_link_mbps()   # warm the probe's slice compile at the real size
     out = stable_windows(probed_pass, windows=windows)
     out["wire"] = wire
     out["link_mbps"] = {"median": sorted(links)[len(links) // 2],
