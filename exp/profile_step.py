@@ -38,6 +38,12 @@ MICRO = 1
 if variant.startswith("micro"):
     MICRO = int(variant[5:] or 3)
     cfg = cfg.replace(remat=False)
+if variant in ("bench", "bench_pallas"):
+    # the bench.py headline configuration (micro_steps=4 + shared_prefix),
+    # with/without the Pallas kernels — the win-or-retire comparison pair
+    MICRO = 4
+    cfg = cfg.replace(remat=False, shared_prefix=True,
+                      use_pallas=(variant == "bench_pallas"))
 
 batch = _make_batch(cfg, B=BATCH, L=50, Lpv=256, R=36, P=30)
 trainer = PretrainTrainer(cfg, learning_rate=1e-4, warmup_steps=10,
